@@ -1,0 +1,167 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vast_tpu.ops.attention import multi_head_attention, reference_attention
+from vast_tpu.ops.fbank import kaldi_fbank, mel_banks
+from vast_tpu.ops.flash_attention import flash_attention
+from vast_tpu.ops.image import center_crop_resize, normalize_image, preprocess_frames
+from vast_tpu.ops.masking import IGNORE_LABEL, mask_tokens
+
+
+# ---------------- flash attention ----------------
+
+@pytest.mark.parametrize("b,h,lq,lk,d", [(2, 4, 128, 128, 128),
+                                          (1, 2, 256, 384, 128)])
+def test_flash_attention_matches_reference(b, h, lq, lk, d):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, lq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, lk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, lk, d), jnp.float32)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_with_bias_and_padding_mask():
+    b, h, lq, lk, d = 2, 2, 128, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (b, h, lq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, lk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, lk, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (b, h, lq, lk), jnp.float32)
+    # mask out the last 100 kv positions of batch 0
+    bias = bias.at[0, :, :, -100:].set(-1e30)
+    out = flash_attention(q, k, v, bias, interpret=True)
+    ref = reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mha_wrapper_pads_odd_shapes():
+    """88-dim heads (EVA01-g head_width) and non-multiple lengths."""
+    b, l, h, d = 2, 257, 4, 88
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, l, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, l, h, d), jnp.float32)
+    out_pallas = multi_head_attention(q, k, v, impl="pallas", interpret=True)
+    out_ref = multi_head_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mha_boolean_mask():
+    b, l, h, d = 2, 16, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, l, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, l, h, d), jnp.float32)
+    mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+    out = multi_head_attention(q, k, v, mask=mask, impl="xla")
+    # causal: position 0 attends only to itself
+    expect0 = v[:, 0]
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(expect0),
+                               atol=1e-5, rtol=1e-5)
+
+
+# ---------------- fbank ----------------
+
+def test_fbank_shapes_and_framing():
+    wav = jnp.asarray(np.random.RandomState(0).randn(16000).astype(np.float32))
+    fb = kaldi_fbank(wav * 2 ** 15)
+    # snip_edges: 1 + (16000 - 400)//160 = 98 frames
+    assert fb.shape == (98, 128)
+    assert np.isfinite(np.asarray(fb)).all()
+
+
+def test_fbank_dc_offset_invariance():
+    rs = np.random.RandomState(1)
+    wav = rs.randn(8000).astype(np.float32)
+    a = kaldi_fbank(jnp.asarray(wav))
+    b = kaldi_fbank(jnp.asarray(wav + 3.0))  # constant offset removed per frame
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
+
+
+def test_fbank_tone_peak_bin():
+    """A pure 1 kHz tone must peak in the mel bin containing 1 kHz."""
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = np.sin(2 * np.pi * 1000.0 * t) * 2 ** 15
+    fb = np.asarray(kaldi_fbank(jnp.asarray(tone), num_mel_bins=40))
+    peak_bin = fb.mean(axis=0).argmax()
+    banks = mel_banks(40, 512, sr)
+    # frequency of each fft bin
+    freqs = np.arange(256) * sr / 512
+    center_freq = freqs[banks[:, peak_bin].argmax()]
+    assert abs(center_freq - 1000.0) < 150.0
+
+
+def test_fbank_batched():
+    wav = jnp.asarray(np.random.RandomState(2).randn(3, 8000).astype(np.float32))
+    fb = kaldi_fbank(wav)
+    assert fb.shape == (3, 48, 128)
+
+
+# ---------------- image ----------------
+
+def test_preprocess_frames_resize_normalize():
+    x = (np.random.RandomState(0).rand(2, 3, 64, 48, 3) * 255).astype(np.uint8)
+    out = preprocess_frames(jnp.asarray(x), 32)
+    assert out.shape == (2, 3, 32, 32, 3)
+    # normalization: uniform [0,255] -> roughly centered
+    assert abs(float(out.mean())) < 2.0
+
+
+def test_center_crop_resize():
+    x = jnp.ones((1, 2, 100, 60, 3))
+    out = center_crop_resize(x, 48)
+    assert out.shape == (1, 2, 48, 48, 3)
+
+
+def test_train_crop_flip_runs():
+    x = (np.random.RandomState(1).rand(2, 2, 64, 64, 3)).astype(np.float32)
+    out = preprocess_frames(jnp.asarray((x * 255).astype(np.uint8)), 32,
+                            train=True, rng=jax.random.PRNGKey(0),
+                            transforms="crop_flip")
+    assert out.shape == (2, 2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------- token masking ----------------
+
+def test_mask_tokens_semantics():
+    tok = np.zeros((4, 12), np.int32)
+    tok[:, 0] = 101
+    tok[:, 1:6] = np.arange(200, 205)
+    tok[:, 6] = 102
+    tokens = jnp.asarray(tok)
+    corrupted, labels = mask_tokens(jax.random.PRNGKey(0), tokens, 0.6,
+                                    mask_token=103)
+    corrupted, labels = np.asarray(corrupted), np.asarray(labels)
+    # CLS and pads never masked
+    assert (labels[:, 0] == IGNORE_LABEL).all()
+    assert (labels[:, 7:] == IGNORE_LABEL).all()
+    assert (corrupted[:, 7:] == 0).all()
+    # at least one masked per row
+    assert ((labels != IGNORE_LABEL).sum(axis=1) >= 1).all()
+    # labels hold original tokens where set
+    sel = labels != IGNORE_LABEL
+    np.testing.assert_array_equal(labels[sel], tok[sel])
+
+
+def test_mask_tokens_rates():
+    rs = np.random.RandomState(0)
+    tok = rs.randint(200, 300, (64, 40)).astype(np.int32)
+    tok[:, 0] = 101
+    corrupted, labels = mask_tokens(jax.random.PRNGKey(1), jnp.asarray(tok),
+                                    0.6, mask_token=103, range_start=106,
+                                    range_end=30522)
+    corrupted, labels = np.asarray(corrupted), np.asarray(labels)
+    sel = labels != IGNORE_LABEL
+    frac_sel = sel.mean()
+    assert 0.5 < frac_sel < 0.7
+    masked = (corrupted == 103) & sel
+    assert 0.7 < masked.sum() / sel.sum() < 0.9
