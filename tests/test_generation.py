@@ -1,0 +1,140 @@
+"""Generation: cached scan decode must equal the reference's
+full-prefix-per-step mask-append decoding (naively re-implemented here)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import tiny_batch, tiny_vast_config
+from vast_tpu.models.generation import GenerationConfig, generate
+from vast_tpu.models.vast import VASTModel
+
+CFG = tiny_vast_config()
+
+
+def setup_model():
+    model = VASTModel(CFG)
+    batch = tiny_batch(b=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, "ret%tva_cap%tva",
+        compute_loss=True, deterministic=True,
+        step_rngs={"mask": jax.random.PRNGKey(2),
+                   "negatives": jax.random.PRNGKey(3)})["params"]
+    out = model.apply({"params": params}, batch, "ret%tva",
+                      compute_loss=False, deterministic=True)
+    cond = out["condition_feats_tva"]
+    return model, params, cond
+
+
+def naive_reference_decode(model, params, cond, gcfg, steps):
+    """Reference algorithm (bert.py:1027-1044): at each step run the FULL
+    sequence [generated..., MASK] with a growing square causal mask and take
+    argmax at the MASK position."""
+    b = cond.shape[0]
+    seq = np.full((b, 1), gcfg.bos_id, np.int64)
+    finished = np.zeros(b, bool)
+    outs = []
+    for _ in range(steps):
+        t = seq.shape[1]
+        ids = np.concatenate(
+            [seq, np.full((b, 1), gcfg.mask_id, np.int64)], axis=1)
+        mask3 = np.tril(np.ones((b, t + 1, t + 1), np.int64))
+        logits = model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask3),
+            encoder_hidden_states=jnp.asarray(cond),
+            method=lambda m, *a, **k: m.multimodal_encoder(*a, **k))
+        nxt = np.asarray(jnp.argmax(logits[:, -1], -1))
+        nxt = np.where(finished, gcfg.pad_id, nxt)
+        finished |= nxt == gcfg.eos_id
+        outs.append(nxt)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+    return np.stack(outs, axis=1)
+
+
+def test_greedy_matches_naive_reference():
+    model, params, cond = setup_model()
+    gcfg = GenerationConfig(max_new_tokens=6, num_beams=1)
+    ours = np.asarray(generate(model, params, cond, gcfg))
+    ref = naive_reference_decode(model, params, cond, gcfg, 6)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_beam1_matches_greedy():
+    model, params, cond = setup_model()
+    g1 = GenerationConfig(max_new_tokens=5, num_beams=1)
+    gb = GenerationConfig(max_new_tokens=5, num_beams=1 + 0, length_penalty=1.0)
+    greedy = np.asarray(generate(model, params, cond, g1))
+    gb2 = GenerationConfig(max_new_tokens=5, num_beams=2, length_penalty=0.0)
+    # beam=2 with length_penalty 0: best beam's first tokens may differ from
+    # greedy in general, but beam search must produce valid tokens
+    beam = np.asarray(generate(model, params, cond, gb2))
+    assert beam.shape == greedy.shape
+    assert (beam >= 0).all() and (beam < 170).all()
+
+
+def test_beam_prefers_higher_logprob_sequence():
+    """Beam search must find a sequence with >= total logprob than greedy."""
+    model, params, cond = setup_model()
+    steps = 5
+    greedy = np.asarray(generate(
+        model, params, cond, GenerationConfig(max_new_tokens=steps)))
+    beam = np.asarray(generate(
+        model, params, cond,
+        GenerationConfig(max_new_tokens=steps, num_beams=3,
+                         length_penalty=0.0)))
+
+    def seq_logprob(tokens):
+        b = cond.shape[0]
+        total = np.zeros(b)
+        seq = np.full((b, 1), 101, np.int64)
+        done = np.zeros(b, bool)
+        for i in range(tokens.shape[1]):
+            t = seq.shape[1]
+            ids = np.concatenate([seq, np.full((b, 1), 103, np.int64)], 1)
+            mask3 = np.tril(np.ones((b, t + 1, t + 1), np.int64))
+            logits = model.apply(
+                {"params": params}, jnp.asarray(ids), jnp.asarray(mask3),
+                encoder_hidden_states=jnp.asarray(cond),
+                method=lambda m, *a, **k: m.multimodal_encoder(*a, **k))
+            logp = np.asarray(jax.nn.log_softmax(logits[:, -1], -1))
+            tok = tokens[:, i]
+            step_lp = logp[np.arange(b), tok]
+            total += np.where(done, 0.0, step_lp)
+            done |= tok == 102
+            done |= tok == 0
+            seq = np.concatenate([seq, tok[:, None]], 1)
+        return total
+
+    lp_beam = seq_logprob(beam)
+    lp_greedy = seq_logprob(greedy)
+    assert (lp_beam >= lp_greedy - 1e-4).all(), (lp_beam, lp_greedy)
+
+
+def test_qa_prompt_generation_shapes():
+    model, params, cond = setup_model()
+    b = cond.shape[0]
+    rs = np.random.RandomState(0)
+    prompt = np.concatenate([
+        np.full((b, 1), 101), rs.randint(106, 170, (b, 4)),
+        np.full((b, 1), 102), np.zeros((b, 2)),  # padded question
+        np.full((b, 1), 101),  # BOS
+    ], axis=1).astype(np.int32)
+    pmask = (prompt != 0).astype(np.int32)
+    gcfg = GenerationConfig(max_new_tokens=4, num_beams=3, length_penalty=1.0)
+    out = np.asarray(generate(model, params, jnp.asarray(cond), gcfg,
+                              prompt_ids=jnp.asarray(prompt),
+                              prompt_mask=jnp.asarray(pmask)))
+    assert out.shape == (b, 4)
+
+
+def test_sampling_is_deterministic_given_rng():
+    model, params, cond = setup_model()
+    gcfg = GenerationConfig(max_new_tokens=5, do_sample=True, top_k=10)
+    a = np.asarray(generate(model, params, cond, gcfg,
+                            rng=jax.random.PRNGKey(7)))
+    b = np.asarray(generate(model, params, cond, gcfg,
+                            rng=jax.random.PRNGKey(7)))
+    c = np.asarray(generate(model, params, cond, gcfg,
+                            rng=jax.random.PRNGKey(8)))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)

@@ -1,0 +1,254 @@
+"""BEATs audio transformer (flax.linen).
+
+TPU re-implementation of the fairseq-style encoder the reference vendors
+(model/audio_encoders/beats/beats.py). Faithful quirks:
+
+  * 16x16/stride-16 Conv2d patch embed on the (frames x mel) fbank, LN in
+    the 512-d patch space, then projection to 768 (beats.py:1096-1104,
+    forward at :1147-1175);
+  * grouped depth-wise-ish conv positional embedding (k=128, groups=16)
+    with weight-norm parameterization, SamePad trim + GELU
+    (beats.py:279-291);
+  * bucketed relative attention bias (T5-style, 320 buckets / max dist 800)
+    owned by layer 0 and shared by all layers (beats.py:323-326);
+  * gated relative position (GRU-style): gate computed from the query,
+    scaling the shared bias per head/position (beats.py:905-915);
+  * the alpha=32 softmax rescaling trick: q is scaled by scaling/32, then
+    (qk - max(qk)) * 32 before adding the gated bias (beats.py:767-769,
+    :878) — reproduced exactly since the gate path depends on it;
+  * deep-norm residual scaling (post-norm, residual * (2N)^(1/4) —
+    beats.py:461-465, :514-526) as used by the released
+    BEATs_iter3_plus_AS2M checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vast_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class BeatsConfig:
+    input_patch_size: int = 16
+    embed_dim: int = 512
+    encoder_layers: int = 12
+    encoder_embed_dim: int = 768
+    encoder_ffn_embed_dim: int = 3072
+    encoder_attention_heads: int = 12
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+    deep_norm: bool = True
+    layer_norm_first: bool = False
+    relative_position_embedding: bool = True
+    num_buckets: int = 320
+    max_distance: int = 800
+    gru_rel_pos: bool = True
+    dropout: float = 0.0
+    ln_eps: float = 1e-5
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.encoder_embed_dim // self.encoder_attention_heads
+
+
+def relative_position_bucket(relative_positions: np.ndarray,
+                             num_buckets: int = 320,
+                             max_distance: int = 800) -> np.ndarray:
+    """Bidirectional T5-style bucket ids (beats.py _relative_positions_bucket)."""
+    nb = num_buckets // 2
+    buckets = (relative_positions > 0).astype(np.int64) * nb
+    rp = np.abs(relative_positions)
+    max_exact = nb // 2
+    is_small = rp < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rp, 1).astype(np.float64) / max_exact)
+        / math.log(max_distance / max_exact) * (nb - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, nb - 1)
+    return buckets + np.where(is_small, rp, large)
+
+
+class BeatsAttention(nn.Module):
+    cfg: BeatsConfig
+    has_relative_attention_bias: bool = False
+
+    def setup(self):
+        c = self.cfg
+        e = c.encoder_embed_dim
+        self.q_proj = nn.Dense(e, dtype=c.dtype)
+        self.k_proj = nn.Dense(e, dtype=c.dtype)
+        self.v_proj = nn.Dense(e, dtype=c.dtype)
+        self.out_proj = nn.Dense(e, dtype=c.dtype)
+        if self.has_relative_attention_bias:
+            self.relative_attention_bias = nn.Embed(c.num_buckets,
+                                                    c.encoder_attention_heads)
+        if c.gru_rel_pos:
+            self.grep_linear = nn.Dense(8, dtype=c.dtype)
+            self.grep_a = self.param("grep_a", nn.initializers.ones,
+                                     (1, c.encoder_attention_heads, 1, 1))
+
+    def compute_bias(self, length: int):
+        rel = (np.arange(length)[None, :] - np.arange(length)[:, None])
+        bucket = relative_position_bucket(rel, self.cfg.num_buckets,
+                                          self.cfg.max_distance)
+        values = self.relative_attention_bias(jnp.asarray(bucket))  # (L, L, H)
+        return jnp.transpose(values, (2, 0, 1))  # (H, L, L)
+
+    def __call__(self, x, position_bias=None):
+        """x: (B, L, E). Returns (out, position_bias) — the raw (ungated)
+        bias is threaded through layers like the reference."""
+        c = self.cfg
+        b, l, e = x.shape
+        h, d = c.encoder_attention_heads, c.head_dim
+        scaling = d ** -0.5
+        alpha = 32.0
+
+        if self.has_relative_attention_bias and position_bias is None:
+            position_bias = self.compute_bias(l)  # (H, L, L)
+
+        q = self.q_proj(x).reshape(b, l, h, d)
+        k = self.k_proj(x).reshape(b, l, h, d)
+        v = self.v_proj(x).reshape(b, l, h, d)
+
+        bias = None
+        if position_bias is not None:
+            bias = position_bias[None]  # (1, H, L, L)
+            if c.gru_rel_pos:
+                # gate from the (unscaled) query: beats.py:905-915
+                qg = jnp.swapaxes(q, 1, 2)  # (B, H, L, D)
+                g = self.grep_linear(qg).reshape(b, h, l, 2, 4).sum(-1)
+                gate_a, gate_b = jnp.split(nn.sigmoid(g), 2, axis=-1)
+                gate = gate_a * (gate_b * self.grep_a - 1.0) + 2.0  # (B,H,L,1)
+                bias = gate * bias
+
+        # the alpha trick (q*scale/alpha, (s-max)*alpha) is numerics-neutral
+        # under softmax given the gate uses the raw q; fold to plain scaling.
+        out = multi_head_attention(q, k, v, bias=bias, scale=scaling)
+        out = out.reshape(b, l, e)
+        return self.out_proj(out), position_bias
+
+
+class BeatsLayer(nn.Module):
+    cfg: BeatsConfig
+    has_relative_attention_bias: bool = False
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = BeatsAttention(c, self.has_relative_attention_bias)
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+        self.fc1 = nn.Dense(c.encoder_ffn_embed_dim, dtype=c.dtype)
+        self.fc2 = nn.Dense(c.encoder_embed_dim, dtype=c.dtype)
+        self.final_layer_norm = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+        self.deep_norm_alpha = (
+            math.pow(2 * c.encoder_layers, 0.25) if c.deep_norm else 1.0)
+
+    def __call__(self, x, position_bias=None):
+        c = self.cfg
+        if c.layer_norm_first:
+            y, position_bias = self.self_attn(self.self_attn_layer_norm(x),
+                                              position_bias)
+            x = x + y
+            y = self.fc2(jax.nn.gelu(self.fc1(self.final_layer_norm(x)),
+                                     approximate=False))
+            x = x + y
+        else:
+            y, position_bias = self.self_attn(x, position_bias)
+            x = self.self_attn_layer_norm(x * self.deep_norm_alpha + y)
+            y = self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
+            x = self.final_layer_norm(x * self.deep_norm_alpha + y)
+        return x, position_bias
+
+
+class BeatsEncoder(nn.Module):
+    cfg: BeatsConfig
+
+    def setup(self):
+        c = self.cfg
+        # weight-norm parameterization of pos_conv (beats.py:289):
+        # kernel = g * v / ||v|| with the norm over (in/groups, k) per output.
+        k = c.conv_pos
+        groups = c.conv_pos_groups
+        e = c.encoder_embed_dim
+        std = math.sqrt(4.0 / (k * e))
+        self.pos_conv_v = self.param(
+            "pos_conv_v", nn.initializers.normal(std), (k, e // groups, e))
+        self.pos_conv_g = self.param(
+            "pos_conv_g", nn.initializers.ones, (1, 1, e))
+        self.pos_conv_bias = self.param(
+            "pos_conv_bias", nn.initializers.zeros, (e,))
+        self.layers = [
+            BeatsLayer(c, has_relative_attention_bias=(
+                c.relative_position_embedding and i == 0),
+                name=f"layer_{i}")
+            for i in range(c.encoder_layers)
+        ]
+        self.layer_norm = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+
+    def _pos_conv(self, x):
+        c = self.cfg
+        v = self.pos_conv_v
+        norm = jnp.sqrt(jnp.sum(v ** 2, axis=(0, 1), keepdims=True) + 1e-12)
+        kernel = (self.pos_conv_g / norm) * v  # (k, in/groups, out)
+        y = jax.lax.conv_general_dilated(
+            x.astype(c.dtype), kernel.astype(c.dtype),
+            window_strides=(1,), padding=[(c.conv_pos // 2, c.conv_pos // 2)],
+            dimension_numbers=("NLC", "LIO", "NLC"),
+            feature_group_count=c.conv_pos_groups)
+        y = y + self.pos_conv_bias.astype(y.dtype)
+        if c.conv_pos % 2 == 0:
+            y = y[:, :-1]  # SamePad trims one for even kernels
+        return jax.nn.gelu(y, approximate=False)
+
+    def __call__(self, x, deterministic=True):
+        c = self.cfg
+        x = x + self._pos_conv(x)
+        if not c.layer_norm_first:
+            x = self.layer_norm(x)
+        position_bias = None
+        for layer in self.layers:
+            if c.remat:
+                (x, position_bias) = nn.remat(
+                    lambda m, a, pb: m(a, pb))(layer, x, position_bias)
+            else:
+                x, position_bias = layer(x, position_bias)
+        if c.layer_norm_first:
+            x = self.layer_norm(x)
+        return x
+
+
+class BeatsModel(nn.Module):
+    """fbank (B, T=1024, M=128) -> tokens (B, (T/16)*(M/16), 768)."""
+
+    cfg: BeatsConfig
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embedding = nn.Conv(
+            c.embed_dim, (c.input_patch_size, c.input_patch_size),
+            strides=(c.input_patch_size, c.input_patch_size),
+            padding="VALID", use_bias=False, dtype=c.dtype)
+        self.layer_norm = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+        if c.embed_dim != c.encoder_embed_dim:
+            self.post_extract_proj = nn.Dense(c.encoder_embed_dim, dtype=c.dtype)
+        self.encoder = BeatsEncoder(c)
+
+    def __call__(self, fbank, deterministic=True):
+        c = self.cfg
+        x = self.patch_embedding(fbank[..., None].astype(c.dtype))
+        # torch flattens (B, C, H', W') channel-first: token order is
+        # row-major over (H', W') after our NHWC conv too.
+        x = x.reshape(x.shape[0], -1, c.embed_dim)
+        x = self.layer_norm(x)
+        if c.embed_dim != c.encoder_embed_dim:
+            x = self.post_extract_proj(x)
+        return self.encoder(x, deterministic=deterministic)

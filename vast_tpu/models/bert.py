@@ -211,13 +211,16 @@ class BertModel(nn.Module):
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  deterministic=True, inputs_embeds=None,
                  cache=None, cache_index=None, cache_mask=None,
-                 cross_kv=None):
+                 cross_kv=None, decode_self_mask=None):
         """Returns last_hidden_state (and the new cache when decoding).
 
         Standard mode: full-sequence forward, ``attention_mask`` 2-D or 3-D.
-        Decode mode (``cache`` given): ``input_ids`` is the 2-token
-        [fixup, MASK] window at positions [cache_index, cache_index+2);
-        ``cache_mask`` (B, L_cache) marks attendable cache slots.
+        Decode mode (``cache`` given): ``input_ids`` is the token window at
+        positions [cache_index, cache_index+lq); ``cache_mask`` (B, L_cache)
+        marks attendable cache slots (causality over written slots is
+        enforced automatically), or pass ``decode_self_mask``
+        (B, lq, L_cache) to override entirely — used for bidirectional
+        prompt prefill (QA question prompts).
         """
         if inputs_embeds is None:
             if cache is not None and position_ids is None:
@@ -229,14 +232,17 @@ class BertModel(nn.Module):
 
         lq = x.shape[1]
         if cache is not None:
-            # decode: query tokens attend over valid cache slots up to their
-            # own position (the fixup token must not see the new MASK).
-            l_cache = cache[0]["k"].shape[1]
-            m = jnp.broadcast_to(cache_mask[:, None, None, :],
-                                 (x.shape[0], 1, lq, l_cache)).astype(bool)
-            pos = jnp.arange(l_cache)[None, None, None, :]
-            qpos = cache_index + jnp.arange(lq)[None, None, :, None]
-            self_mask = m & (pos <= qpos)
+            if decode_self_mask is not None:
+                self_mask = decode_self_mask[:, None].astype(bool)
+            else:
+                # decode: query tokens attend over valid cache slots up to
+                # their own position (the fixup must not see the new MASK).
+                l_cache = cache[0]["k"].shape[1]
+                m = jnp.broadcast_to(cache_mask[:, None, None, :],
+                                     (x.shape[0], 1, lq, l_cache)).astype(bool)
+                pos = jnp.arange(l_cache)[None, None, None, :]
+                qpos = cache_index + jnp.arange(lq)[None, None, :, None]
+                self_mask = m & (pos <= qpos)
         else:
             self_mask = _extend_mask(attention_mask, lq)
 
@@ -301,12 +307,12 @@ class BertForMaskedLM(nn.Module):
                  token_type_ids=None, position_ids=None,
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  deterministic=True, cache=None, cache_index=None,
-                 cache_mask=None, cross_kv=None):
+                 cache_mask=None, cross_kv=None, decode_self_mask=None):
         out = self.bert(
             input_ids, attention_mask, token_type_ids, position_ids,
             encoder_hidden_states, encoder_attention_mask, deterministic,
             cache=cache, cache_index=cache_index, cache_mask=cache_mask,
-            cross_kv=cross_kv)
+            cross_kv=cross_kv, decode_self_mask=decode_self_mask)
         if cache is not None:
             hidden, new_cache = out
             return self.logits_from_hidden(hidden), new_cache

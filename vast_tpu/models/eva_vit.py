@@ -1,0 +1,278 @@
+"""EVA-CLIP vision transformer family (flax.linen).
+
+Covers every variant the reference instantiates
+(model/general_module.py:320-360 + evaclip/model_configs/*.json):
+
+  * EVA01-g-14 (the VAST default): 40 layers, width 1408, head dim 88,
+    mlp_ratio 4.3637, abs pos embed, fused-qkv with q/v bias only
+    (eva_vit_model.py:305-312), plain GELU MLP.
+  * EVA02 B/L: separate q/k/v projections without k bias (subln), 2-D
+    rotary embeddings over the patch grid with frequency interpolation
+    (rope.py:79, intp_freq), SwiGLU MLP with inner LayerNorm, sub-LN.
+  * EVA02-bigE-plus: post-norm blocks.
+
+Attention runs through ops.multi_head_attention (Pallas flash on TPU),
+replacing the xformers path (eva_vit_model.py:330). ``return_all_features``
+returns the full token grid after the final LN, which is what VAST consumes
+(general_module.py:383).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vast_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class EvaVitConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1408
+    layers: int = 40
+    head_width: int = 88
+    mlp_ratio: float = 4.3637
+    qkv_bias: bool = True            # q/v bias, zero k bias
+    subln: bool = False              # separate q/k/v + inner attn LN
+    swiglu: bool = False             # naiveswiglu MLP
+    rope: bool = False               # 2-D rotary over patch grid
+    pt_hw_seq_len: int = 16          # pretrain grid side for rope interp
+    intp_freq: bool = False
+    postnorm: bool = False
+    ls_init_value: float | None = None  # layer-scale gamma init
+    drop_path_rate: float = 0.0
+    ln_eps: float = 1e-6
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def num_heads(self) -> int:
+        return self.width // self.head_width
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size ** 2
+
+
+# named presets mirroring general_module.py:328-350 / model_configs/*.json
+EVA_PRESETS = {
+    "evaclip01_giant": EvaVitConfig(),
+    "evaclip02_base": EvaVitConfig(
+        patch_size=16, width=768, layers=12, head_width=64,
+        mlp_ratio=2.6667, subln=True, swiglu=True, rope=True, intp_freq=True),
+    "evaclip02_large": EvaVitConfig(
+        patch_size=14, width=1024, layers=24, head_width=64,
+        mlp_ratio=2.6667, subln=True, swiglu=True, rope=True, intp_freq=True),
+    "evaclip02_bige": EvaVitConfig(
+        patch_size=14, width=1792, layers=64, head_width=112,
+        mlp_ratio=8.571428571428571, postnorm=True),
+}
+
+EVA_VISION_DIMS = {
+    "evaclip01_giant": 1408, "evaclip02_base": 768,
+    "evaclip02_large": 1024, "evaclip02_bige": 1792,
+}
+
+
+def rope_2d_freqs(cfg: EvaVitConfig) -> np.ndarray:
+    """Interleaved 2-D rotary angles, shape (grid*grid, head_width/2).
+
+    Mirrors VisionRotaryEmbeddingFast (evaclip/rope.py:79): per-axis dim is
+    head_width//4 pairs with theta=10000 log-spacing; ``intp_freq`` rescales
+    the fine-tune grid positions onto the pretrain grid.
+    """
+    dim = cfg.head_width // 2  # per-axis rotary dim (pairs*2)
+    freqs = 1.0 / (10000.0 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    ft = cfg.grid_size
+    t = np.arange(ft, dtype=np.float64)
+    if cfg.intp_freq:
+        t = t * (cfg.pt_hw_seq_len / ft)
+    angles = np.outer(t, freqs)                     # (g, dim/2)
+    angles = np.repeat(angles, 2, axis=-1)          # (g, dim) interleaved
+    # broadcast to 2-D grid: row angles ++ col angles
+    row = np.broadcast_to(angles[:, None, :], (ft, ft, dim))
+    col = np.broadcast_to(angles[None, :, :], (ft, ft, dim))
+    out = np.concatenate([row, col], axis=-1).reshape(ft * ft, 2 * dim)
+    return out.astype(np.float32)
+
+
+def apply_rope(x, angles):
+    """x: (B, L, H, D) with L == angles.shape[0]; rotate_half convention
+    matching evaclip/rope.py (interleaved pairs)."""
+    cos = jnp.cos(angles)[None, :, None, :]
+    sin = jnp.sin(angles)[None, :, None, :]
+    x2 = x.reshape(*x.shape[:-1], -1, 2)
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    return x * cos.astype(x.dtype) + rot * sin.astype(x.dtype)
+
+
+class EvaAttention(nn.Module):
+    cfg: EvaVitConfig
+
+    def setup(self):
+        c = self.cfg
+        all_dim = c.num_heads * c.head_width
+        if c.subln:
+            self.q_proj = nn.Dense(all_dim, use_bias=False, dtype=c.dtype)
+            self.k_proj = nn.Dense(all_dim, use_bias=False, dtype=c.dtype)
+            self.v_proj = nn.Dense(all_dim, use_bias=False, dtype=c.dtype)
+        else:
+            self.qkv = nn.Dense(3 * all_dim, use_bias=False, dtype=c.dtype)
+        if c.qkv_bias:
+            self.q_bias = self.param("q_bias", nn.initializers.zeros, (all_dim,))
+            self.v_bias = self.param("v_bias", nn.initializers.zeros, (all_dim,))
+        if c.subln:
+            self.inner_ln = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+        self.proj = nn.Dense(c.width, dtype=c.dtype)
+
+    def __call__(self, x, rope_angles=None):
+        c = self.cfg
+        b, l, _ = x.shape
+        h, d = c.num_heads, c.head_width
+        if c.subln:
+            q = self.q_proj(x)
+            k = self.k_proj(x)
+            v = self.v_proj(x)
+            if c.qkv_bias:
+                q = q + self.q_bias.astype(q.dtype)
+                v = v + self.v_bias.astype(v.dtype)
+        else:
+            qkv = self.qkv(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if c.qkv_bias:
+                q = q + self.q_bias.astype(q.dtype)
+                v = v + self.v_bias.astype(v.dtype)
+        q = q.reshape(b, l, h, d)
+        k = k.reshape(b, l, h, d)
+        v = v.reshape(b, l, h, d)
+        if rope_angles is not None:
+            # rope applies to patch tokens only, cls token untouched
+            # (eva_vit_model.py:305-310)
+            q = jnp.concatenate([q[:, :1], apply_rope(q[:, 1:], rope_angles)], 1)
+            k = jnp.concatenate([k[:, :1], apply_rope(k[:, 1:], rope_angles)], 1)
+        out = multi_head_attention(q, k, v, scale=d ** -0.5)
+        out = out.reshape(b, l, h * d)
+        if c.subln:
+            out = self.inner_ln(out)
+        return self.proj(out)
+
+
+class EvaMlp(nn.Module):
+    cfg: EvaVitConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        hidden = int(c.width * c.mlp_ratio)
+        if c.swiglu:
+            x1 = nn.Dense(hidden, dtype=c.dtype, name="w1")(x)
+            x2 = nn.Dense(hidden, dtype=c.dtype, name="w2")(x)
+            x = nn.silu(x1) * x2
+            if c.subln:
+                x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype,
+                                 name="ffn_ln")(x)
+            return nn.Dense(c.width, dtype=c.dtype, name="w3")(x)
+        x = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        if c.subln:
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ffn_ln")(x)
+        return nn.Dense(c.width, dtype=c.dtype, name="fc2")(x)
+
+
+class EvaBlock(nn.Module):
+    cfg: EvaVitConfig
+    drop_path: float = 0.0
+
+    def setup(self):
+        c = self.cfg
+        self.norm1 = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+        self.attn = EvaAttention(c)
+        self.mlp = EvaMlp(c)
+        if c.ls_init_value is not None:
+            init = nn.initializers.constant(c.ls_init_value)
+            self.gamma_1 = self.param("gamma_1", init, (c.width,))
+            self.gamma_2 = self.param("gamma_2", init, (c.width,))
+
+    def _drop_path(self, x, deterministic):
+        if self.drop_path == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1))
+        return x * mask.astype(x.dtype) / keep
+
+    def __call__(self, x, rope_angles=None, deterministic=True):
+        c = self.cfg
+        scale1 = getattr(self, "gamma_1", None)
+        scale2 = getattr(self, "gamma_2", None)
+
+        if c.postnorm:
+            a = self.norm1(self.attn(x, rope_angles))
+            if scale1 is not None:
+                a = a * scale1.astype(a.dtype)
+            x = x + self._drop_path(a, deterministic)
+            m = self.norm2(self.mlp(x))
+            if scale2 is not None:
+                m = m * scale2.astype(m.dtype)
+            x = x + self._drop_path(m, deterministic)
+        else:
+            a = self.attn(self.norm1(x), rope_angles)
+            if scale1 is not None:
+                a = a * scale1.astype(a.dtype)
+            x = x + self._drop_path(a, deterministic)
+            m = self.mlp(self.norm2(x))
+            if scale2 is not None:
+                m = m * scale2.astype(m.dtype)
+            x = x + self._drop_path(m, deterministic)
+        return x
+
+
+class EvaVisionTransformer(nn.Module):
+    cfg: EvaVitConfig
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = nn.Conv(c.width, (c.patch_size, c.patch_size),
+                                   strides=(c.patch_size, c.patch_size),
+                                   padding="VALID", dtype=c.dtype)
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, c.width))
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, c.num_patches + 1, c.width))
+        dpr = np.linspace(0, c.drop_path_rate, c.layers)
+        self.blocks = [EvaBlock(c, drop_path=float(dpr[i]), name=f"block_{i}")
+                       for i in range(c.layers)]
+        self.norm = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+        if c.rope:
+            self.rope_angles = jnp.asarray(rope_2d_freqs(c))
+        else:
+            self.rope_angles = None
+
+    def __call__(self, pixels, deterministic=True):
+        """pixels: (B, H, W, 3) normalized -> (B, 1+P, width) all tokens."""
+        c = self.cfg
+        x = self.patch_embed(pixels.astype(c.dtype))   # (B, g, g, width)
+        x = x.reshape(x.shape[0], -1, c.width)
+        cls = jnp.broadcast_to(self.cls_token.astype(x.dtype),
+                               (x.shape[0], 1, c.width))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(x.dtype)
+        for blk in self.blocks:
+            if c.remat:
+                x = nn.remat(lambda m, y, det: m(y, self.rope_angles, det),
+                             static_argnums=(2,))(blk, x, deterministic)
+            else:
+                x = blk(x, self.rope_angles, deterministic)
+        return self.norm(x)

@@ -1,0 +1,642 @@
+"""VAST omni-modality model: encoders, heads, losses, feature DAG.
+
+Re-architecture of model/vast.py + model/general_module.py for TPU:
+
+* The reference's lazy ``batch_get`` memo-dict (model/vast.py:81-314) is a
+  pure function DAG here (:meth:`VASTModel.get_feature`): a plain dict
+  cache inside the traced computation. ``jax.jit`` specializes per task
+  string, so shared encoder passes are computed once per step — same
+  effect as the reference's laziness, no machinery.
+
+* Losses are written over the GLOBAL batch. The reference gathers
+  features across ranks and builds rank-offset diagonal targets
+  (model/vast.py:395-443, concat_all_gather / all_gather_with_grad);
+  here the batch axis is sharded over the ``dp`` mesh axis and XLA
+  inserts the ICI all-gathers — ITC targets are simply ``arange(B)``.
+  ITC similarity uses stop_gradient'd gathered features implicitly just
+  as the reference does (both directions of the matrix come from the
+  same global tensors, gradients flow to both — matching
+  all-rank-symmetric DDP training).
+
+* Preprocessing (frame resize/normalize, waveform->fbank->clip slicing)
+  runs on device as part of the DAG when hosts deliver raw inputs
+  (``vision_frames`` uint8 / ``audio_waveforms``), replacing the
+  reference's CPU dataloader transforms (data/vision_mapper.py,
+  data/audio_mapper.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vast_tpu.models.ast import AstConfig, AstModel
+from vast_tpu.models.beats import BeatsConfig, BeatsModel
+from vast_tpu.models.bert import BertConfig, BertForMaskedLM, mlm_loss
+from vast_tpu.models.clip_vit import (
+    CLIP_PRESETS,
+    CLIP_VISION_DIMS,
+    ClipVisionTransformer,
+    ClipVitConfig,
+)
+from vast_tpu.models.eva_vit import (
+    EVA_PRESETS,
+    EVA_VISION_DIMS,
+    EvaVisionTransformer,
+    EvaVitConfig,
+)
+from vast_tpu.ops.fbank import kaldi_fbank
+from vast_tpu.ops.image import (
+    CLIP_MEAN,
+    CLIP_STD,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    preprocess_frames,
+)
+from vast_tpu.ops.masking import mask_tokens
+
+# audio normalization stats chosen per encoder (data/audio_mapper.py:19-24)
+AUDIO_STATS = {"ast": (-4.2677393, 4.5689974), "beats": (15.41663, 6.55582)}
+
+
+@dataclasses.dataclass(frozen=True)
+class VASTConfig:
+    vision_encoder_type: str = "evaclip01_giant"
+    audio_encoder_type: str = "beats"
+    contra_dim: int = 512
+    itm_ratio: float = 0.1
+    max_caption_len: int = 40
+    max_omni_caption_len: int = 70
+    max_subtitle_len: int = 70
+    max_vision_sample_num: int = 8
+    max_audio_sample_num: int = 1
+    vision_resolution: int = 224
+    audio_melbins: int = 64
+    audio_target_length: int = 1024
+    frame_embedding_type: str = "adaptive"
+    beam_size: int = 3
+    itm_rerank_num: int = 50
+    captioner_mode: bool = False
+    generate_nums: int = 1
+    ret_bidirection_evaluation: bool = False
+    evaluation_type: str = "evaluation_mm"
+    checkpointing: bool = False
+    frozen_vision: bool = False
+    frozen_audio: bool = False
+    label_smoothing: float = 0.1
+    dtype: Any = jnp.float32
+    # explicit sub-configs override the *_encoder_type presets (tiny tests)
+    vision_cfg: Optional[Any] = None
+    audio_cfg: Optional[Any] = None
+    bert_cfg: Optional[BertConfig] = None
+
+    @classmethod
+    def from_model_cfg(cls, m, dtype=jnp.float32, **overrides):
+        """Build from a merged model_cfg EasyDict (config.py)."""
+        keys = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in dict(m).items() if k in keys}
+        kw.update(overrides)
+        kw["dtype"] = dtype
+        return cls(**kw)
+
+    def resolved_vision_cfg(self):
+        if self.vision_cfg is not None:
+            return self.vision_cfg
+        t = self.vision_encoder_type
+        if t.startswith("evaclip"):
+            base = EVA_PRESETS[t]
+        elif t.startswith("clip"):
+            base = CLIP_PRESETS[t]
+        else:
+            raise NotImplementedError(f"vision encoder {t}")
+        return dataclasses.replace(base, image_size=self.vision_resolution,
+                                   dtype=self.dtype, remat=self.checkpointing)
+
+    def resolved_audio_cfg(self):
+        if self.audio_cfg is not None:
+            return self.audio_cfg
+        t = self.audio_encoder_type
+        if t.startswith("beats"):
+            return BeatsConfig(dtype=self.dtype, remat=self.checkpointing)
+        if t.startswith("ast"):
+            return AstConfig(audio_melbins=self.audio_melbins,
+                             audio_target_length=self.audio_target_length,
+                             dtype=self.dtype, remat=self.checkpointing)
+        raise NotImplementedError(f"audio encoder {t}")
+
+    def resolved_bert_cfg(self):
+        if self.bert_cfg is not None:
+            return self.bert_cfg
+        return BertConfig(dtype=self.dtype, remat=self.checkpointing)
+
+
+def label_smoothed_ce(logits, targets, smoothing: float):
+    """Cross entropy with label smoothing (torch F.cross_entropy semantics)."""
+    logits = logits.astype(jnp.float32)
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    smooth = -logp.mean(axis=-1)
+    return ((1.0 - smoothing) * nll + smoothing * smooth).mean()
+
+
+def _interp_nearest(embed, n: int):
+    """(1, N, D) -> (1, n, D), F.interpolate(mode='nearest') semantics
+    (general_module.py:484-493)."""
+    src = embed.shape[1]
+    if src == n:
+        return embed
+    idx = (np.arange(n) * src // n).astype(np.int32)
+    return embed[:, idx]
+
+
+class MatchHead(nn.Module):
+    """Linear+GELU+LN+Linear->2 (general_module.py:34-42)."""
+
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="linear1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln")(x)
+        return nn.Dense(2, dtype=self.dtype, name="linear2")(x)
+
+
+class ProjLN(nn.Module):
+    """Dense + LayerNorm(eps 1e-12): hidden_trans_*_multimodal
+    (model/vast.py:38-40)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln")(x)
+
+
+class VASTModel(nn.Module):
+    cfg: VASTConfig
+
+    def setup(self):
+        c = self.cfg
+        vc = c.resolved_vision_cfg()
+        ac = c.resolved_audio_cfg()
+        bc = c.resolved_bert_cfg()
+        self._bert_cfg = bc
+
+        if isinstance(vc, EvaVitConfig):
+            self.vision_encoder = EvaVisionTransformer(vc)
+            self.vision_dim = vc.width
+        elif isinstance(vc, ClipVitConfig):
+            self.vision_encoder = ClipVisionTransformer(vc)
+            self.vision_dim = vc.width
+        else:
+            raise NotImplementedError(type(vc))
+
+        if isinstance(ac, BeatsConfig):
+            self.audio_encoder = BeatsModel(ac)
+            self.audio_dim = ac.encoder_embed_dim
+        elif isinstance(ac, AstConfig):
+            self.audio_encoder = AstModel(ac)
+            self.audio_dim = ac.hidden_size
+        else:
+            raise NotImplementedError(type(ac))
+
+        self.multimodal_encoder = BertForMaskedLM(bc)
+        self.multimodal_dim = bc.hidden_size
+
+        d = c.contra_dim
+        dt = c.dtype
+        self.contra_head_t = nn.Dense(d, use_bias=False, dtype=dt)
+        self.contra_head_s = nn.Dense(d, use_bias=False, dtype=dt)
+        self.contra_head_v = nn.Dense(d, use_bias=False, dtype=dt)
+        self.contra_head_a = nn.Dense(d, use_bias=False, dtype=dt)
+        self.contra_head_va = nn.Dense(d, dtype=dt)
+        self.contra_head_vs = nn.Dense(d, dtype=dt)
+        self.contra_head_vas = nn.Dense(d, dtype=dt)
+        self.contra_temp = self.param("contra_temp",
+                                      nn.initializers.constant(0.07), ())
+        self.itm_head = MatchHead(self.multimodal_dim, dt)
+
+        init02 = nn.initializers.normal(0.02)
+        self.vision_frame_embedding = self.param(
+            "vision_frame_embedding", init02,
+            (1, c.max_vision_sample_num, self.multimodal_dim))
+        self.audio_frame_embedding = self.param(
+            "audio_frame_embedding", init02,
+            (1, c.max_audio_sample_num, self.multimodal_dim))
+        self.hidden_trans_vision_multimodal = ProjLN(self.multimodal_dim, dt)
+        self.hidden_trans_audio_multimodal = ProjLN(self.multimodal_dim, dt)
+        self.hidden_trans_subtitle_multimodal = ProjLN(self.multimodal_dim, dt)
+        self.vision_type_embeddings = self.param(
+            "vision_type_embeddings", init02, (1, 1, self.multimodal_dim))
+        self.audio_type_embeddings = self.param(
+            "audio_type_embeddings", init02, (1, 1, self.multimodal_dim))
+        self.subtitle_type_embeddings = self.param(
+            "subtitle_type_embeddings", init02, (1, 1, self.multimodal_dim))
+
+    # ---------------- encoders ----------------
+
+    def forward_vision_encoder(self, pixels, deterministic=True):
+        """(B, n, H, W, 3) normalized -> (B, n, tokens, vision_dim).
+
+        Frames fold into the batch for the MXU (general_module.py:379-384).
+        """
+        b, n = pixels.shape[:2]
+        x = pixels.reshape((b * n,) + pixels.shape[2:])
+        if self.cfg.frozen_vision:
+            x = jax.lax.stop_gradient(x)
+            out = jax.lax.stop_gradient(
+                self.vision_encoder(x, deterministic=True))
+        else:
+            out = self.vision_encoder(x, deterministic=deterministic)
+        return out.reshape(b, n, *out.shape[1:])
+
+    def forward_audio_encoder(self, spectrograms, deterministic=True):
+        """(B, n, T, M) -> (B, n, tokens, audio_dim)."""
+        b, n = spectrograms.shape[:2]
+        x = spectrograms.reshape((b * n,) + spectrograms.shape[2:])
+        if self.cfg.frozen_audio:
+            out = jax.lax.stop_gradient(
+                self.audio_encoder(x, deterministic=True))
+        else:
+            out = self.audio_encoder(x, deterministic=deterministic)
+        return out.reshape(b, n, *out.shape[1:])
+
+    # ---------------- pooling (general_module.py:426-449) --------------
+
+    def pool_vision_for_contra(self, feature):
+        return feature[:, :, 0].mean(axis=1)  # CLS per frame, mean over frames
+
+    def pool_audio_for_contra(self, feature):
+        if self.cfg.audio_encoder_type.startswith("ast"):
+            return feature[:, :, 0].mean(axis=1)
+        return feature.mean(axis=2).mean(axis=1)  # beats: token mean
+
+    def pool_text_for_contra(self, feature):
+        return feature[:, 0]
+
+    # ------------- projection to fusion space (gm.py:476-525) ----------
+
+    def get_multimodal_forward_input_vision(self, vision_output):
+        b, n = vision_output.shape[:2]
+        x = self.hidden_trans_vision_multimodal(vision_output)
+        if self.cfg.frame_embedding_type == "adaptive":
+            fe = _interp_nearest(self.vision_frame_embedding, n)
+            x = x + fe[:, :, None].astype(x.dtype)
+        x = x.reshape(b, -1, self.multimodal_dim)
+        return x + self.vision_type_embeddings.astype(x.dtype)
+
+    def get_multimodal_forward_input_audio(self, audio_output):
+        b, n = audio_output.shape[:2]
+        x = self.hidden_trans_audio_multimodal(audio_output)
+        fe = _interp_nearest(self.audio_frame_embedding, n)
+        x = x + fe[:, :, None].astype(x.dtype)
+        x = x.reshape(b, -1, self.multimodal_dim)
+        return x + self.audio_type_embeddings.astype(x.dtype)
+
+    def get_multimodal_forward_input_subtitle(self, subtitle_output):
+        x = self.hidden_trans_subtitle_multimodal(subtitle_output)
+        return x + self.subtitle_type_embeddings.astype(x.dtype)
+
+    # ---------------- on-device preprocessing ----------------
+
+    def _preprocess_vision(self, batch, deterministic, rng):
+        frames = batch["vision_frames"]  # uint8 (B, n, H, W, 3)
+        mean, std = ((CLIP_MEAN, CLIP_STD)
+                     if (self.cfg.vision_encoder_type.startswith(("clip", "evaclip")))
+                     else (IMAGENET_MEAN, IMAGENET_STD))
+        return preprocess_frames(
+            frames, self.cfg.vision_resolution, mean=mean, std=std,
+            train=not deterministic, rng=rng,
+            transforms=str(batch.get("vision_transforms", "none")))
+
+    def _preprocess_audio(self, batch, deterministic, rng):
+        """waveform (B, S) at 16 kHz int16-scale -> (B, n, T, M) fbank clips.
+
+        Device version of data/audio_mapper.py:55-88: fbank, pad to clip
+        multiple, even-split clip sampling (random in segment when
+        training, center at eval), normalize with encoder stats.
+        """
+        c = self.cfg
+        wav = batch["audio_waveforms"]
+        n = c.max_audio_sample_num
+        t = c.audio_target_length
+        fb = kaldi_fbank(wav, num_mel_bins=c.audio_melbins)
+        mean, std = AUDIO_STATS["beats" if c.audio_encoder_type.startswith("beats")
+                                else "ast"]
+        fb = (fb - mean) / (2.0 * std)
+        frames = fb.shape[-2]
+        total = max(1, -(-frames // t))  # ceil
+        pad = total * t - frames
+        fb = jnp.pad(fb, [(0, 0), (0, pad), (0, 0)])
+        # even split of `total` clips into n segments (utils/tool.py:12)
+        bounds = np.linspace(0, total, n + 1)
+        starts = bounds[:-1].astype(np.int32)
+        sizes = np.maximum((bounds[1:] - bounds[:-1]).astype(np.int32), 1)
+        if deterministic or rng is None:
+            offs = (sizes + 1) // 2 - 1
+            idx = jnp.asarray(starts + offs)
+            idx = jnp.broadcast_to(idx, (wav.shape[0], n))
+        else:
+            u = jax.random.uniform(rng, (wav.shape[0], n))
+            idx = jnp.asarray(starts)[None] + (
+                u * jnp.asarray(sizes)[None]).astype(jnp.int32)
+        clips = fb.reshape(fb.shape[0], total, t, c.audio_melbins)
+        return jnp.take_along_axis(clips, idx[:, :, None, None], axis=1)
+
+    # ---------------- feature DAG (model/vast.py:81-314) ----------------
+
+    def get_feature(self, batch, key, cache, deterministic=True, step_rngs=None):
+        if key in cache:
+            return cache[key]
+        r = (step_rngs or {})
+
+        if key == "vision_pixels":
+            if "vision_pixels" in batch:
+                val = batch["vision_pixels"]
+            else:
+                val = self._preprocess_vision(batch, deterministic,
+                                              r.get("vision"))
+        elif key == "audio_spectrograms":
+            if "audio_spectrograms" in batch:
+                val = batch["audio_spectrograms"]
+            else:
+                val = self._preprocess_audio(batch, deterministic,
+                                             r.get("audio"))
+        elif key == "vision_output":
+            px = self.get_feature(batch, "vision_pixels", cache,
+                                  deterministic, step_rngs)
+            val = self.forward_vision_encoder(px, deterministic)
+        elif key == "audio_output":
+            sp = self.get_feature(batch, "audio_spectrograms", cache,
+                                  deterministic, step_rngs)
+            val = self.forward_audio_encoder(sp, deterministic)
+        elif key == "caption_output":
+            val = self.multimodal_encoder.encode(
+                batch["caption_tokens"], batch["caption_attention_mask"],
+                deterministic=deterministic)
+        elif key == "subtitle_output":
+            val = self.multimodal_encoder.encode(
+                batch["subtitle_tokens"], batch["subtitle_attention_mask"],
+                deterministic=deterministic)
+        elif key == "condition_feats_v":
+            vo = self.get_feature(batch, "vision_output", cache,
+                                  deterministic, step_rngs)
+            val = self.get_multimodal_forward_input_vision(vo)
+        elif key == "condition_feats_a":
+            ao = self.get_feature(batch, "audio_output", cache,
+                                  deterministic, step_rngs)
+            val = self.get_multimodal_forward_input_audio(ao)
+        elif key == "condition_feats_s":
+            so = self.get_feature(batch, "subtitle_output", cache,
+                                  deterministic, step_rngs)
+            val = self.get_multimodal_forward_input_subtitle(so)
+        elif key in ("condition_feats_va", "condition_feats_vs",
+                     "condition_feats_vas"):
+            parts = [self.get_feature(batch, f"condition_feats_{m}", cache,
+                                      deterministic, step_rngs)
+                     for m in key.split("_")[-1]]
+            val = jnp.concatenate(parts, axis=1)
+        elif key == "feat_t":
+            co = self.get_feature(batch, "caption_output", cache,
+                                  deterministic, step_rngs)
+            val = _l2norm(self.contra_head_t(self.pool_text_for_contra(co)))
+        elif key == "feat_s":
+            so = self.get_feature(batch, "subtitle_output", cache,
+                                  deterministic, step_rngs)
+            val = _l2norm(self.contra_head_s(self.pool_text_for_contra(so)))
+        elif key == "feat_v":
+            vo = self.get_feature(batch, "vision_output", cache,
+                                  deterministic, step_rngs)
+            val = _l2norm(self.contra_head_v(self.pool_vision_for_contra(vo)))
+        elif key == "feat_a":
+            ao = self.get_feature(batch, "audio_output", cache,
+                                  deterministic, step_rngs)
+            val = _l2norm(self.contra_head_a(self.pool_audio_for_contra(ao)))
+        elif key in ("feat_va", "feat_vs", "feat_vas"):
+            mods = key.split("_")[-1]
+            pooled = []
+            for m in mods:
+                if m == "v":
+                    vo = self.get_feature(batch, "vision_output", cache,
+                                          deterministic, step_rngs)
+                    pooled.append(self.pool_vision_for_contra(vo))
+                elif m == "a":
+                    ao = self.get_feature(batch, "audio_output", cache,
+                                          deterministic, step_rngs)
+                    pooled.append(self.pool_audio_for_contra(ao))
+                else:
+                    so = self.get_feature(batch, "subtitle_output", cache,
+                                          deterministic, step_rngs)
+                    pooled.append(self.pool_text_for_contra(so))
+            head = getattr(self, f"contra_head_{mods}")
+            val = _l2norm(head(jnp.concatenate(pooled, axis=1)))
+        else:
+            raise KeyError(key)
+
+        cache[key] = val
+        return val
+
+    # ---------------- task forwards ----------------
+
+    def forward_ret(self, batch, subtasks, compute_loss=True,
+                    deterministic=True, step_rngs=None):
+        c = self.cfg
+        cache = {}
+        feat_t = self.get_feature(batch, "feat_t", cache, deterministic, step_rngs)
+        if not compute_loss:
+            out = {"feat_t": feat_t,
+                   "input_ids": batch["caption_tokens"],
+                   "attention_mask": batch["caption_attention_mask"]}
+            for st in subtasks:
+                out[f"feat_cond_{st}"] = self.get_feature(
+                    batch, f"feat_{st[1:]}", cache, deterministic, step_rngs)
+                out[f"condition_feats_{st}"] = self.get_feature(
+                    batch, f"condition_feats_{st[1:]}", cache, deterministic,
+                    step_rngs)
+            return out
+
+        input_ids = batch["caption_tokens"]
+        attention_mask = batch["caption_attention_mask"]
+        bs = feat_t.shape[0]
+        targets = jnp.arange(bs)
+        loss_itc, loss_itm = [], []
+        neg_rng = (step_rngs or {}).get("negatives")
+        for si, st in enumerate(subtasks):
+            feat_cond = self.get_feature(batch, f"feat_{st[1:]}", cache,
+                                         deterministic, step_rngs)
+            # global-batch ITC (model/vast.py:400-417)
+            sim_c2t = feat_cond @ feat_t.T / self.contra_temp
+            sim_t2c = feat_t @ feat_cond.T / self.contra_temp
+            loss_itc.append(
+                (label_smoothed_ce(sim_c2t, targets, c.label_smoothing)
+                 + label_smoothed_ce(sim_t2c, targets, c.label_smoothing)) / 2)
+
+            # ITM with global hard negatives (model/vast.py:421-457)
+            cond = self.get_feature(batch, f"condition_feats_{st[1:]}", cache,
+                                    deterministic, step_rngs)
+            w_t2c = jax.lax.stop_gradient(
+                jax.nn.softmax(sim_t2c.astype(jnp.float32), axis=1) + 1e-4)
+            w_c2t = jax.lax.stop_gradient(
+                jax.nn.softmax(sim_c2t.astype(jnp.float32), axis=1) + 1e-4)
+            diag = jnp.eye(bs, dtype=bool)
+            w_t2c = jnp.where(diag, 0.0, w_t2c)
+            w_c2t = jnp.where(diag, 0.0, w_c2t)
+            k1, k2 = jax.random.split(jax.random.fold_in(neg_rng, si))
+            neg_cond_idx = jax.random.categorical(k1, jnp.log(w_t2c), axis=1)
+            neg_text_idx = jax.random.categorical(k2, jnp.log(w_c2t), axis=1)
+            cond_neg = cond[neg_cond_idx]
+            ids_neg = input_ids[neg_text_idx]
+            mask_neg = attention_mask[neg_text_idx]
+
+            ids3 = jnp.concatenate([input_ids, input_ids, ids_neg], axis=0)
+            mask3 = jnp.concatenate(
+                [attention_mask, attention_mask, mask_neg], axis=0)
+            cond3 = jnp.concatenate([cond, cond_neg, cond], axis=0)
+            fused = self.multimodal_encoder.encode(
+                ids3, mask3, encoder_hidden_states=cond3,
+                deterministic=deterministic)
+            logits = self.itm_head(fused[:, 0])
+            labels = jnp.concatenate(
+                [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)])
+            loss_itm.append(c.itm_ratio * label_smoothed_ce(logits, labels, 0.0))
+
+        return {"loss_itc": sum(loss_itc) / len(loss_itc),
+                "loss_itm": sum(loss_itm) / len(loss_itm)}
+
+    def forward_cap(self, batch, subtasks, compute_loss=True,
+                    deterministic=True, step_rngs=None,
+                    caption_key: str = "caption"):
+        cache = {}
+        if not compute_loss:
+            # eval generation is driven by models/generation.py outside jit of
+            # the loss path; here we only expose the condition features.
+            return {f"condition_feats_{st}": self.get_feature(
+                        batch, f"condition_feats_{st[1:]}", cache,
+                        deterministic, step_rngs)
+                    for st in subtasks}
+
+        input_ids = batch[f"{caption_key}_tokens"]
+        attention_mask = batch[f"{caption_key}_attention_mask"]
+        mask_rng = (step_rngs or {})["mask"]
+        corrupted, labels = mask_tokens(
+            mask_rng, input_ids, 0.6,
+            mask_token=self._mask_token_id(),
+            range_end=self._bert_cfg.vocab_size)
+        # causal-triangular 3-D mask (model/vast.py:497-499)
+        l = attention_mask.shape[1]
+        att3 = jnp.broadcast_to(attention_mask[:, None, :],
+                                (attention_mask.shape[0], l, l))
+        att3 = jnp.tril(att3)
+        losses = []
+        for st in subtasks:
+            cond = self.get_feature(batch, f"condition_feats_{st[1:]}", cache,
+                                    deterministic, step_rngs)
+            logits = self.multimodal_encoder(
+                corrupted, att3, encoder_hidden_states=cond,
+                deterministic=deterministic)
+            losses.append(mlm_loss(logits, labels))
+        return {"loss_cap": sum(losses) / len(losses)}
+
+    def forward_qa(self, batch, subtasks, compute_loss=True,
+                   deterministic=True, step_rngs=None):
+        cache = {}
+        if not compute_loss:
+            return {f"condition_feats_{st}": self.get_feature(
+                        batch, f"condition_feats_{st[1:]}", cache,
+                        deterministic, step_rngs)
+                    for st in subtasks}
+
+        q_ids = batch["question_tokens"]
+        q_mask = batch["question_attention_mask"]
+        a_ids = batch["answer_tokens"]
+        a_mask = batch["answer_attention_mask"]
+        mask_rng = (step_rngs or {})["mask"]
+        a_corrupted, a_labels = mask_tokens(
+            mask_rng, a_ids, 0.99, mask_token=self._mask_token_id(),
+            range_end=self._bert_cfg.vocab_size)
+        input_ids = jnp.concatenate([q_ids, a_corrupted], axis=1)
+        attention_mask = jnp.concatenate([q_mask, a_mask], axis=1)
+        labels = jnp.concatenate(
+            [jnp.full_like(q_ids, -100), a_labels], axis=1)
+
+        # part-causal mask (model/vast.py:594-599): bidirectional over the
+        # question, causal over the answer, question rows blind to answers.
+        ql = q_ids.shape[1]
+        l = input_ids.shape[1]
+        att3 = jnp.broadcast_to(attention_mask[:, None, :],
+                                (input_ids.shape[0], l, l))
+        tri = jnp.tril(jnp.ones((l, l), att3.dtype))
+        region = (jnp.arange(l)[:, None] >= ql) & (jnp.arange(l)[None, :] >= ql)
+        att3 = jnp.where(region[None], att3 * tri[None], att3)
+        blind = (jnp.arange(l)[:, None] < ql) & (jnp.arange(l)[None, :] >= ql)
+        att3 = jnp.where(blind[None], 0, att3)
+
+        losses = []
+        for st in subtasks:
+            cond = self.get_feature(batch, f"condition_feats_{st[1:]}", cache,
+                                    deterministic, step_rngs)
+            logits = self.multimodal_encoder(
+                input_ids, att3, encoder_hidden_states=cond,
+                deterministic=deterministic)
+            losses.append(mlm_loss(logits, labels))
+        return {"loss_qa": sum(losses) / len(losses)}
+
+    def _mask_token_id(self) -> int:
+        # [MASK]=103 in the released vocab; tiny test vocabs keep the layout
+        return 103
+
+    def compute_slice_scores(self, condition_feats, input_ids, attention_mask):
+        """ITM softmax[:, 1] for rerank (model/vast.py:373-380)."""
+        fused = self.multimodal_encoder.encode(
+            input_ids, attention_mask, encoder_hidden_states=condition_feats,
+            deterministic=True)
+        return jax.nn.softmax(self.itm_head(fused[:, 0]).astype(jnp.float32),
+                              axis=1)[:, 1]
+
+    # ---------------- top-level dispatch (model/vast.py:317-348) --------
+
+    def __call__(self, batch, task: str, compute_loss: bool = True,
+                 deterministic: bool = True, step_rngs=None):
+        from vast_tpu.config import parse_task_string
+
+        out = {}
+        for head, subtasks in parse_task_string(task):
+            if head.startswith("ret"):
+                out.update(self.forward_ret(batch, subtasks, compute_loss,
+                                            deterministic, step_rngs))
+            elif head.startswith("cap"):
+                # vast27m variant: separate caption streams per modality
+                # (model/vast.py:655-688) — selected by key presence.
+                if "vision_caption_tokens" in batch:
+                    for st in subtasks:
+                        ck = {"tv": "vision_caption", "ta": "audio_caption"}.get(
+                            st, "omni_caption")
+                        r = self.forward_cap(batch, [st], compute_loss,
+                                             deterministic, step_rngs,
+                                             caption_key=ck)
+                        for k, v in r.items():
+                            out[k] = out.get(k, 0) + v / len(subtasks)
+                else:
+                    out.update(self.forward_cap(batch, subtasks, compute_loss,
+                                                deterministic, step_rngs))
+            elif head.startswith("qa"):
+                out.update(self.forward_qa(batch, subtasks, compute_loss,
+                                           deterministic, step_rngs))
+            else:
+                raise NotImplementedError(head)
+        return out
+
+
+def _l2norm(x):
+    return x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                               keepdims=True).astype(x.dtype)
