@@ -1,0 +1,136 @@
+"""Train step: convergence, multi-device equivalence, optimizer groups,
+checkpoint save/resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.helpers import tiny_batch, tiny_vast_config
+from vast_tpu.config import EasyDict
+from vast_tpu.models.vast import VASTModel
+from vast_tpu.parallel.mesh import create_mesh, shard_batch
+from vast_tpu.training.optimizer import build_optimizer, param_labels
+from vast_tpu.training.saver import ModelSaver
+from vast_tpu.training.sched import get_lr_ratio
+from vast_tpu.training.step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    shard_state,
+)
+
+RUN_CFG = EasyDict({
+    "learning_rate": 1e-3, "clip_lr": 1e-3, "new_lr": 0.0,
+    "new_params_name": [], "betas": [0.9, 0.98], "weight_decay": 0.01,
+    "optim": "adamw", "scheduler": "warmup_linear", "warmup_ratio": 0.1,
+})
+MODEL_CFG = EasyDict({"vision_encoder_type": "evaclip01_giant"})
+
+
+def build(task="ret%tva", seed=0):
+    cfg = tiny_vast_config()
+    model = VASTModel(cfg)
+    batch = tiny_batch(b=8, with_subtitle=True, with_qa=True)
+    params = model.init(
+        {"params": jax.random.PRNGKey(seed)}, batch,
+        "ret%tvas%tvs%tva%tv%ta_cap%tvas_qa%tvas", compute_loss=True,
+        deterministic=True,
+        step_rngs={"mask": jax.random.PRNGKey(2),
+                   "negatives": jax.random.PRNGKey(3)})["params"]
+    tx, labels = build_optimizer(params, RUN_CFG, MODEL_CFG, 100)
+    state = create_train_state(params, tx)
+    step = make_train_step(model, tx, task)
+    return model, state, step, batch, labels
+
+
+def test_loss_decreases_over_steps():
+    model, state, step, batch, _ = build("ret%tva_cap%tva")
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_sched_ratios():
+    assert get_lr_ratio(0, 100, "warmup_linear", 0.1) == 0.0
+    assert get_lr_ratio(10, 100, "warmup_linear", 0.1) == 1.0
+    assert abs(get_lr_ratio(55, 100, "warmup_linear", 0.1) - 0.5) < 1e-9
+    assert get_lr_ratio(100, 100, "warmup_linear", 0.1) == 0.0
+
+
+def test_param_group_labels():
+    model, state, step, batch, labels = build()
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    groups = {}
+    for path, lab in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        groups.setdefault(lab, []).append(".".join(keys))
+    # vision encoder -> clip groups (evaclip type)
+    assert all(p.startswith("vision_encoder") for p in groups["clip"])
+    assert any("bias" in p for p in groups["clip_nd"])
+    # LayerNorm scales land in no-decay
+    assert any(p.endswith("scale") for p in groups["basic_nd"])
+    assert not any(p.endswith("scale") for p in groups.get("basic", []))
+
+
+def test_multidevice_matches_single_device():
+    """The global-batch loss must be identical when the batch is sharded
+    over an 8-device dp mesh (GSPMD inserts the gathers)."""
+    model, state, step, batch, _ = build("ret%tva")
+    rng = jax.random.PRNGKey(0)
+
+    # single-device result
+    s1, m1 = step(state, batch, rng)
+
+    # sharded result
+    mesh = create_mesh(dp=8)
+    model2, state2, step2, _, _ = build("ret%tva")
+    state2 = shard_state(mesh, state2)
+    sbatch = shard_batch(mesh, batch)
+    s2, m2 = step2(state2, sbatch, rng)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4,
+                                   err_msg=k)
+    # params after update match too
+    d1 = jax.tree.leaves(s1.params)
+    d2 = jax.tree.leaves(s2.params)
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fsdp_sharding_runs():
+    mesh = create_mesh(dp=4, fsdp=2)
+    model, state, step, batch, _ = build("ret%tva")
+    state = shard_state(mesh, state, fsdp=True)
+    sbatch = shard_batch(mesh, batch)
+    state, metrics = step(state, sbatch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_saver_roundtrip(tmp_path):
+    model, state, step, batch, _ = build()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    saver = ModelSaver(str(tmp_path))
+    saver.save(state, 1)
+    # fresh state, restore
+    _, state2, _, _, _ = build(seed=1)
+    restored, start = saver.restore_latest(state2)
+    assert start == 1
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_saver_removes_previous(tmp_path):
+    model, state, step, batch, _ = build()
+    saver = ModelSaver(str(tmp_path))
+    saver.save(state, 1)
+    saver.save(state, 2)
+    import os
+    names = set(os.listdir(saver.ckpt_dir))
+    assert "model_step_2" in names and "model_step_1" not in names

@@ -1,0 +1,92 @@
+"""Param-grouped AdamW via optax.
+
+Reproduces utils/build_optimizer.py:11-99's three LR groups:
+
+  * ``new``   — params whose path matches any ``new_params_name`` substring
+                -> ``new_lr``;
+  * ``clip``  — vision-encoder params when the vision tower is a (eva)clip
+                model ('visual' in torch names; here the ``vision_encoder``
+                subtree) -> ``clip_lr``;
+  * ``basic`` — everything else -> ``learning_rate``;
+
+each split into decay / no-decay (bias + LayerNorm params, the torch
+``no_decay`` list). AdamW eps 1e-6 and betas from run_cfg match the
+reference's custom AdamW (build_optimizer.py:105-196). All groups share
+one LR-ratio schedule (utils/sched.py), applied multiplicatively.
+"""
+
+from __future__ import annotations
+
+import optax
+
+import jax
+
+from vast_tpu.training.sched import make_optax_schedule
+
+NO_DECAY_LEAVES = ("bias", "scale")  # flax: LN weight=='scale'
+
+
+def _is_no_decay(path) -> bool:
+    leaf = path[-1]
+    if leaf in NO_DECAY_LEAVES:
+        return True
+    # embeddings and 1-d params follow torch AdamW behavior (decayed unless
+    # named bias/LayerNorm.*) — keep parity: only bias/scale are exempt.
+    return False
+
+
+def param_labels(params, new_params_name: tuple[str, ...],
+                 vision_is_clip: bool):
+    def label(path, x):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        path_str = ".".join(str(k) for k in keys)
+        nd = "_nd" if _is_no_decay(keys) else ""
+        if any(n and n in path_str for n in new_params_name):
+            return "new" + nd
+        if vision_is_clip and keys and keys[0] == "vision_encoder":
+            return "clip" + nd
+        return "basic" + nd
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(params, run_cfg, model_cfg, num_train_steps: int):
+    """Returns (optax GradientTransformation, labels pytree)."""
+    betas = tuple(run_cfg.get("betas", (0.9, 0.98)))
+    wd = run_cfg.get("weight_decay", 0.01)
+    sched = make_optax_schedule(
+        num_train_steps, run_cfg.get("scheduler", "warmup_linear"),
+        run_cfg.get("warmup_ratio", 0.1))
+
+    lrs = {
+        "basic": run_cfg.get("learning_rate", 1e-4),
+        "new": run_cfg.get("new_lr", 0.0) or run_cfg.get("learning_rate", 1e-4),
+        "clip": run_cfg.get("clip_lr", 5e-7),
+    }
+
+    def adamw(lr, weight_decay):
+        def scaled(count):
+            return lr * sched(count)
+
+        name = run_cfg.get("optim", "adamw")
+        if name == "adamw":
+            return optax.adamw(scaled, b1=betas[0], b2=betas[1], eps=1e-6,
+                               weight_decay=weight_decay)
+        if name == "adam":
+            return optax.adam(scaled, b1=betas[0], b2=betas[1], eps=1e-6)
+        if name == "adamax":
+            return optax.adamax(scaled, b1=betas[0], b2=betas[1], eps=1e-6)
+        raise ValueError(name)
+
+    transforms = {}
+    for g, lr in lrs.items():
+        transforms[g] = adamw(lr, wd)
+        transforms[g + "_nd"] = adamw(lr, 0.0)
+
+    vision_is_clip = "clip" in model_cfg.get("vision_encoder_type", "")
+    labels = param_labels(
+        params, tuple(run_cfg.get("new_params_name", [])), vision_is_clip)
+    tx = optax.multi_transform(transforms, labels)
+    if run_cfg.get("grad_norm", -1) and run_cfg.get("clip_grads", False):
+        tx = optax.chain(optax.clip_by_global_norm(run_cfg["grad_norm"]), tx)
+    return tx, labels
