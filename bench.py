@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark: clips/sec/chip for MSR-VTT-style retrieval inference.
+
+Measures the full on-device inference path for one retrieval "clip":
+uint8 frames -> device resize/normalize -> EVA01-g/14 over 8 frames ->
+BEATs over 1 fbank clip (fbank computed on device from the raw waveform)
+-> BERT text encode -> contrastive features + fused condition features.
+This is the north-star metric from BASELINE.json ("clips/sec/chip
+(decode+encode) on MSR-VTT"); video container decode is excluded (no
+ffmpeg in this image — the C++ host runtime handles it in production).
+
+Prints ONE JSON line. ``vs_baseline`` compares against an estimated H100
+reference throughput for the PyTorch release (see H100_EST_CLIPS_PER_S
+below); the reference repo publishes no numbers (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference throughput: VAST PyTorch inference on one H100,
+# fp16, 8-frame EVA01-g/14 (~283 GFLOPs/frame) + BEATs + BERT with CPU
+# dataloader preprocessing. Computed as ~35% MFU on 990 TFLOP/s peak over
+# ~2.4 TFLOPs/clip ≈ 144 clips/s; the target is >=5x this per chip.
+H100_EST_CLIPS_PER_S = 144.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vast_tpu.models.vast import VASTConfig, VASTModel
+
+    batch = 16
+    frames = 8
+    cfg = VASTConfig(max_vision_sample_num=frames, max_audio_sample_num=1,
+                     dtype=jnp.bfloat16)
+    model = VASTModel(cfg)
+
+    rs = np.random.RandomState(0)
+    data = {
+        "vision_frames": jnp.asarray(
+            rs.randint(0, 255, (batch, frames, 257, 257, 3), np.uint8)),
+        "audio_waveforms": jnp.asarray(
+            (rs.randn(batch, 1024 * 160 + 400) * 2 ** 15).astype(np.float32)),
+        "caption_tokens": jnp.asarray(
+            rs.randint(1000, 20000, (batch, 40)).astype(np.int32)),
+        "caption_attention_mask": jnp.ones((batch, 40), jnp.int32),
+    }
+
+    init_rng = jax.random.PRNGKey(0)
+    params = model.init({"params": init_rng}, data, "ret%tva",
+                        compute_loss=False, deterministic=True)["params"]
+
+    @jax.jit
+    def infer(params, batch):
+        out = model.apply({"params": params}, batch, "ret%tva",
+                          compute_loss=False, deterministic=True)
+        # scalar checksum: forces full materialization when fetched (over
+        # the axon relay, block_until_ready alone does NOT wait — only a
+        # host transfer drains the device stream)
+        return (jnp.sum(out["feat_t"].astype(jnp.float32))
+                + jnp.sum(out["feat_cond_tva"].astype(jnp.float32))
+                + jnp.sum(out["condition_feats_tva"].astype(jnp.float32)))
+
+    # warmup/compile + drain
+    float(infer(params, data))
+
+    # fetch round-trip latency to subtract (measured on a drained stream)
+    zero = jax.jit(lambda: jnp.zeros(()))()
+    t0 = time.perf_counter()
+    float(zero)
+    rtt = time.perf_counter() - t0
+
+    iters = 16
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = infer(params, data)
+    float(out)  # drains the in-order device stream -> all iters done
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+
+    clips_per_s = batch * iters / dt
+    n_chips = max(jax.device_count(), 1)
+    per_chip = clips_per_s / n_chips
+    print(json.dumps({
+        "metric": "msrvtt_retrieval_inference_clips_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(per_chip / H100_EST_CLIPS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Entry point (reference: run.py — the ONLY entry point).
+
+Usage mirrors the reference:
+    python run.py --config config/vast/finetune_cfg/retrieval-msrvtt.json \
+        [--output_dir ... --mode training|testing --checkpoint ... ...]
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+
+def main():
+    from vast_tpu.config import dump_hps, get_args
+    from vast_tpu.logger import LOGGER
+    from vast_tpu.training import pipeline
+    from vast_tpu.training.saver import ModelSaver, restore_params_from
+
+    opts = get_args()
+    pipeline.initialize(opts)
+    if opts.run_cfg.output_dir and opts.run_cfg.output_dir != "none":
+        dump_hps(opts)
+
+    tokenizer = pipeline.build_tokenizer(opts)
+    model = pipeline.build_model(opts)
+
+    val_loaders = pipeline.create_val_dataloaders(opts, tokenizer)
+
+    if opts.run_cfg.mode == "training":
+        train_loader = pipeline.create_train_dataloaders(opts, tokenizer)
+        state = None
+        start_step = 0
+        params = None
+        if opts.run_cfg.get("checkpoint"):
+            params = pipeline.init_params(model, opts, tokenizer)
+            params = restore_params_from(opts.run_cfg.checkpoint, params)
+        if opts.run_cfg.get("resume"):
+            from vast_tpu.training.optimizer import build_optimizer
+            from vast_tpu.training.step import create_train_state
+            params = params or pipeline.init_params(model, opts, tokenizer)
+            tx, _ = build_optimizer(params, opts.run_cfg, opts.model_cfg,
+                                    opts.run_cfg.num_train_steps or 1)
+            state = create_train_state(params, tx)
+            saver = ModelSaver(opts.run_cfg.output_dir)
+            state, start_step = saver.restore_latest(state)
+        elif params is not None:
+            from vast_tpu.training.optimizer import build_optimizer
+            from vast_tpu.training.step import create_train_state
+            tx, _ = build_optimizer(params, opts.run_cfg, opts.model_cfg,
+                                    opts.run_cfg.num_train_steps or 1)
+            state = create_train_state(params, tx)
+
+        if opts.run_cfg.get("first_eval") or opts.run_cfg.get("zero_shot"):
+            eval_params = state.params if state is not None else \
+                pipeline.init_params(model, opts, tokenizer)
+            pipeline.test(model, opts, tokenizer, val_loaders, eval_params)
+            if opts.run_cfg.get("zero_shot"):
+                return
+        pipeline.train(model, opts, tokenizer, train_loader, val_loaders,
+                       state=state, start_step=start_step)
+    elif opts.run_cfg.mode == "testing":
+        params = pipeline.init_params(model, opts, tokenizer)
+        if opts.run_cfg.get("checkpoint"):
+            params = restore_params_from(opts.run_cfg.checkpoint, params)
+        else:
+            LOGGER.warning("testing with randomly initialized params "
+                           "(no --checkpoint given)")
+        pipeline.test(model, opts, tokenizer, val_loaders, params)
+    else:
+        raise NotImplementedError(opts.run_cfg.mode)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Host-side audio reading: WAV decode + resample to fixed-length 16 kHz.
+
+Reference equivalent: data/audio_mapper.py, which ran torchaudio load +
+kaldi fbank on CPU workers. Here hosts only decode PCM and resample; the
+fbank + normalization + clip sampling run on device (ops/fbank.py +
+VASTModel._preprocess_audio). Missing audio yields a zero waveform with
+``audio_valid=0`` so the device path can zero the spectrogram exactly like
+the reference's zero-tensor fallback (audio_mapper.py:40-42).
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+
+import numpy as np
+
+from vast_tpu.logger import LOGGER
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float32 mono in [-1, 1], sample_rate). stdlib-only."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def resample_linear(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    if sr == target_sr:
+        return x
+    n_out = int(round(len(x) * target_sr / sr))
+    t = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+    return np.interp(t, np.arange(len(x)), x).astype(np.float32)
+
+
+class AudioMapper:
+    """Delivers fixed-length waveforms; fbank happens on device.
+
+    Fixed length = enough frames for ``sample_num`` clips of
+    ``target_length`` fbank frames plus margin, so the device's even-split
+    clip sampling sees the whole clip budget (audio_mapper.py:70-88).
+    """
+
+    def __init__(self, d_cfg, args):
+        self.audio_dir = d_cfg["audio"]
+        self.training = d_cfg["training"]
+        self.sample_num = d_cfg.get("audio_sample_num", 1)
+        self.target_length = args.model_cfg.audio_target_length
+        self.frame_shift = 160  # 10 ms @ 16 kHz
+        self.frame_len = 400    # 25 ms
+        self.num_samples = (self.target_length * self.sample_num
+                            * self.frame_shift + self.frame_len)
+
+    def read(self, id_) -> tuple[np.ndarray, int]:
+        """Returns (waveform float32 int16-scale (S,), valid flag)."""
+        path = os.path.join(self.audio_dir, str(id_))
+        for suffix in ("", ".wav", ".mp3", ".mkv"):
+            if os.path.exists(path + suffix):
+                path = path + suffix
+                break
+        if not os.path.exists(path) or not path.endswith(".wav"):
+            # mp3/mkv need ffmpeg (absent in this image) — zero fallback
+            if os.path.exists(path):
+                LOGGER.info("non-wav audio %s needs ffmpeg; zero fallback",
+                            path)
+            return np.zeros(self.num_samples, np.float32), 0
+        from vast_tpu.data.vision import _native_runtime
+        nat = _native_runtime()
+        if nat is not None:
+            out, valid = nat.load_wav_batch([path], self.num_samples,
+                                            n_threads=1)
+            return out[0], int(valid[0])
+        try:
+            x, sr = read_wav(path)
+        except Exception as e:
+            LOGGER.info("audio read failed for %s: %s", id_, e)
+            return np.zeros(self.num_samples, np.float32), 0
+        x = resample_linear(x, sr, 16000) * 2.0 ** 15  # beats int16 scale
+        if len(x) >= self.num_samples:
+            x = x[: self.num_samples]
+        else:
+            x = np.pad(x, (0, self.num_samples - len(x)))
+        return x.astype(np.float32), 1

@@ -1,0 +1,141 @@
+"""Batch loading + multi-dataset mixing.
+
+``BatchLoader`` is the DataLoader equivalent: shuffling sampler sharded by
+host, thread-pool sample fetch (PIL/IO release the GIL), background batch
+prefetch. The heavy numeric transforms happen on device, so host work is
+decode + tokenize + stack only.
+
+``MetaLoader`` reproduces data/loader.py:8-60: each dataset name enters a
+sampling pool ``steps`` times, a step draws a name uniformly from the pool
+(≈ steps-proportional task mixing), and the task choice is held fixed
+within a gradient-accumulation window. Cross-host synchronization uses a
+shared seeded RNG instead of the reference's ``any_broadcast`` pickle
+collective (SURVEY §7.6) — every host draws the same sequence.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 drop_last: bool = True, num_workers: int = 4, seed: int = 50,
+                 host_id: int = 0, num_hosts: int = 1, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_hosts
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _indices(self):
+        n = len(self.dataset)
+        order = list(range(n))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        # contiguous host shard (DistributedSampler-style interleave)
+        return order[self.host_id::self.num_hosts]
+
+    def __iter__(self):
+        idxs = self._indices()
+        nb = len(self)
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for bi in range(nb):
+                    if stop.is_set():
+                        return
+                    chunk = idxs[bi * self.batch_size:(bi + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, chunk))
+                    out_q.put(self.dataset.collate(samples))
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = out_q.get()
+                if b is None:
+                    return
+                yield b
+        finally:
+            stop.set()
+
+
+class MetaLoader:
+    """Weighted multi-task mixing (data/loader.py:8-60).
+
+    loaders: dict name -> (BatchLoader, ratio). Iteration is infinite;
+    termination is the trainer's step budget (utils/pipeline.py:141).
+    """
+
+    def __init__(self, loaders: dict, accum_steps: int = 1, seed: int = 50):
+        self.name2loader = {}
+        self.name2iter = {}
+        self.sampling_pools = []
+        self.name2epoch = {}
+        for name, (loader, ratio) in loaders.items():
+            self.name2loader[name] = loader
+            self.name2iter[name] = iter(loader)
+            self.name2epoch[name] = 0
+            self.sampling_pools.extend([name] * int(ratio))
+        self.accum_steps = accum_steps
+        self.step = 0
+        self._rng = random.Random(seed)
+        self._held_task = None
+        self.ndata = len(loaders)
+
+    def __iter__(self):
+        while True:
+            if self.step % self.accum_steps == 0:
+                self._held_task = self._rng.choice(self.sampling_pools)
+            name = self._held_task
+            self.step += 1
+            try:
+                batch = next(self.name2iter[name])
+            except StopIteration:
+                self.name2epoch[name] += 1
+                loader = self.name2loader[name]
+                if hasattr(loader, "set_epoch"):
+                    loader.set_epoch(self.name2epoch[name])
+                self.name2iter[name] = iter(loader)
+                batch = next(self.name2iter[name])
+            yield name, batch
+
+
+def compute_train_steps(data_cfg_train, run_cfg, dataset_lengths):
+    """train_steps per dataset + derived num_train_steps / valid_steps
+    (utils/build_dataloader.py:40-77)."""
+    train_steps = []
+    for d_cfg, n in zip(data_cfg_train, dataset_lengths):
+        if "steps" in d_cfg:
+            train_steps.append(int(d_cfg["steps"]))
+        else:
+            epoch = d_cfg.get("epoch", 1)
+            train_steps.append(int((n // d_cfg["batch_size"]) * epoch))
+    if not run_cfg.get("num_train_steps"):
+        run_cfg.num_train_steps = sum(train_steps)
+    run_cfg.valid_steps = max(
+        run_cfg.num_train_steps // run_cfg.get("valid_freq", 10) - 1, 1)
+    return train_steps

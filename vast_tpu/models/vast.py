@@ -97,11 +97,26 @@ class VASTConfig:
 
     @classmethod
     def from_model_cfg(cls, m, dtype=jnp.float32, **overrides):
-        """Build from a merged model_cfg EasyDict (config.py)."""
+        """Build from a merged model_cfg EasyDict (config.py).
+
+        ``vision_cfg`` / ``audio_cfg`` / ``bert_cfg`` may appear in the
+        model cfg JSON as dicts (used for scaled-down smoke configs); they
+        are converted to the matching dataclasses here.
+        """
         keys = {f.name for f in dataclasses.fields(cls)}
         kw = {k: v for k, v in dict(m).items() if k in keys}
         kw.update(overrides)
         kw["dtype"] = dtype
+        vtype = kw.get("vision_encoder_type", "evaclip01_giant")
+        atype = kw.get("audio_encoder_type", "beats")
+        if isinstance(kw.get("vision_cfg"), dict):
+            vc_cls = ClipVitConfig if vtype.startswith("clip") else EvaVitConfig
+            kw["vision_cfg"] = vc_cls(**kw["vision_cfg"], dtype=dtype)
+        if isinstance(kw.get("audio_cfg"), dict):
+            ac_cls = AstConfig if atype.startswith("ast") else BeatsConfig
+            kw["audio_cfg"] = ac_cls(**kw["audio_cfg"], dtype=dtype)
+        if isinstance(kw.get("bert_cfg"), dict):
+            kw["bert_cfg"] = BertConfig(**kw["bert_cfg"], dtype=dtype)
         return cls(**kw)
 
     def resolved_vision_cfg(self):
@@ -351,7 +366,12 @@ class VASTModel(nn.Module):
             idx = jnp.asarray(starts)[None] + (
                 u * jnp.asarray(sizes)[None]).astype(jnp.int32)
         clips = fb.reshape(fb.shape[0], total, t, c.audio_melbins)
-        return jnp.take_along_axis(clips, idx[:, :, None, None], axis=1)
+        clips = jnp.take_along_axis(clips, idx[:, :, None, None], axis=1)
+        if "audio_valid" in batch:
+            # missing audio -> zero spectrogram (audio_mapper.py:40-42)
+            valid = batch["audio_valid"].astype(clips.dtype)
+            clips = clips * valid[:, None, None, None]
+        return clips
 
     # ---------------- feature DAG (model/vast.py:81-314) ----------------
 
@@ -594,6 +614,24 @@ class VASTModel(nn.Module):
     def _mask_token_id(self) -> int:
         # [MASK]=103 in the released vocab; tiny test vocabs keep the layout
         return 103
+
+    def text_features(self, caption_tokens, caption_attention_mask):
+        """feat_t for a text-only chunk (eval driver path)."""
+        cache = {}
+        batch = {"caption_tokens": caption_tokens,
+                 "caption_attention_mask": caption_attention_mask}
+        return self.get_feature(batch, "feat_t", cache)
+
+    def condition_features(self, batch, subtasks: tuple):
+        """{feat_cond_st, condition_feats_st} for the video/audio side."""
+        cache = {}
+        out = {}
+        for st in subtasks:
+            out[f"feat_cond_{st}"] = self.get_feature(
+                batch, f"feat_{st[1:]}", cache)
+            out[f"condition_feats_{st}"] = self.get_feature(
+                batch, f"condition_feats_{st[1:]}", cache)
+        return out
 
     def compute_slice_scores(self, condition_feats, input_ids, attention_mask):
         """ITM softmax[:, 1] for rerank (model/vast.py:373-380)."""

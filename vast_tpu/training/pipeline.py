@@ -1,0 +1,235 @@
+"""Train/test loops + builders (reference: utils/pipeline.py, run.py,
+utils/build_model.py, utils/build_dataloader.py, utils/initialize.py).
+
+One jitted train step per (task, vision_transforms) signature; the
+MetaLoader holds the task fixed across a gradient-accumulation window.
+Loss EMA logging every 50 steps, eval every ``valid_steps``, best-step
+bookkeeping per task metric (utils/pipeline.py:115-143, 168-179).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vast_tpu.config import EasyDict
+from vast_tpu.data import data_registry
+from vast_tpu.data.loader import BatchLoader, MetaLoader, compute_train_steps
+from vast_tpu.data.tokenizer import BertTokenizer
+from vast_tpu.evaluation import evaluation_registry
+from vast_tpu.logger import LOGGER, RunningMeter, add_log_to_file
+from vast_tpu.models import model_registry
+from vast_tpu.models.vast import VASTConfig
+from vast_tpu.parallel.mesh import create_mesh, shard_batch
+from vast_tpu.training.optimizer import build_optimizer
+from vast_tpu.training.saver import ModelSaver, restore_params_from
+from vast_tpu.training.step import (
+    create_train_state,
+    make_train_step,
+    shard_state,
+)
+
+
+def initialize(opts) -> None:
+    """Output dirs + rank-0 logging (utils/initialize.py:8-28)."""
+    out = opts.run_cfg.output_dir
+    if out and out != "none":
+        for sub in ("log", "ckpt"):
+            os.makedirs(os.path.join(out, sub), exist_ok=True)
+        if jax.process_index() == 0:
+            add_log_to_file(os.path.join(out, "log", "log.txt"))
+
+
+def build_tokenizer(opts) -> BertTokenizer:
+    vocab = opts.model_cfg.get("vocab_path") or os.environ.get(
+        "VAST_TPU_VOCAB")
+    if vocab and os.path.exists(vocab):
+        return BertTokenizer.from_pretrained(vocab)
+    from vast_tpu.data.tokenizer import tiny_tokenizer
+    LOGGER.warning("no vocab file configured; using built-in tiny vocab "
+                   "(set model_cfg.vocab_path for real runs)")
+    return tiny_tokenizer()
+
+
+def build_model(opts, dtype=None):
+    """Registry lookup + config mapping (utils/build_model.py:19-61)."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if opts.run_cfg.get("bf16") else jnp.float32
+    model_cls = model_registry[opts.model_cfg.get("model_type", "vast")]
+    cfg = VASTConfig.from_model_cfg(opts.model_cfg, dtype=dtype)
+    return model_cls(cfg)
+
+
+def init_params(model, opts, tokenizer, rng=None):
+    """Initialize every parameter (all heads) with a synthetic batch."""
+    c = model.cfg
+    rng = rng if rng is not None else jax.random.PRNGKey(
+        opts.run_cfg.get("seed", 50))
+    b = 2
+    vc = c.resolved_vision_cfg()
+    batch = {
+        "vision_pixels": jnp.zeros(
+            (b, c.max_vision_sample_num, vc.image_size, vc.image_size, 3),
+            jnp.float32),
+        "audio_spectrograms": jnp.zeros(
+            (b, c.max_audio_sample_num, c.audio_target_length,
+             c.audio_melbins), jnp.float32),
+        "caption_tokens": jnp.ones((b, c.max_caption_len), jnp.int32),
+        "caption_attention_mask": jnp.ones((b, c.max_caption_len), jnp.int32),
+        "subtitle_tokens": jnp.ones((b, c.max_subtitle_len), jnp.int32),
+        "subtitle_attention_mask": jnp.ones((b, c.max_subtitle_len), jnp.int32),
+        "question_tokens": jnp.ones((b, c.max_caption_len), jnp.int32),
+        "question_attention_mask": jnp.ones((b, c.max_caption_len), jnp.int32),
+        "answer_tokens": jnp.ones((b, 10), jnp.int32),
+        "answer_attention_mask": jnp.ones((b, 10), jnp.int32),
+    }
+    variables = model.init(
+        {"params": rng}, batch, "ret%tvas%tvs%tva%tv%ta_cap%tvas_qa%tvas",
+        compute_loss=True, deterministic=True,
+        step_rngs={"mask": jax.random.PRNGKey(1),
+                   "negatives": jax.random.PRNGKey(2)})
+    return variables["params"]
+
+
+def create_train_dataloaders(opts, tokenizer):
+    loaders = {}
+    lengths = []
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    for d_cfg in opts.data_cfg.train:
+        ds = data_registry[d_cfg["type"]](d_cfg, opts, tokenizer)
+        lengths.append(len(ds) if hasattr(ds, "__len__") else 10 ** 9)
+        per_host_bs = max(
+            d_cfg["batch_size"]
+            // opts.run_cfg.get("gradient_accumulation_steps", 1)
+            // num_hosts, 1)
+        loader = BatchLoader(ds, per_host_bs, shuffle=True,
+                             num_workers=d_cfg.get("n_workers", 4),
+                             seed=opts.run_cfg.get("seed", 50),
+                             host_id=host_id, num_hosts=num_hosts)
+        loaders[f"{d_cfg['task']}--{d_cfg['name']}"] = loader
+    steps = compute_train_steps(opts.data_cfg.train, opts.run_cfg, lengths)
+    named = {name: (loader, ratio)
+             for (name, loader), ratio in zip(loaders.items(), steps)}
+    return MetaLoader(named,
+                      accum_steps=opts.run_cfg.get(
+                          "gradient_accumulation_steps", 1),
+                      seed=opts.run_cfg.get("seed", 50))
+
+
+def create_val_dataloaders(opts, tokenizer):
+    loaders = {}
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    for d_cfg in opts.data_cfg.val:
+        ds = data_registry[d_cfg["type"]](d_cfg, opts, tokenizer)
+        loader = BatchLoader(ds, max(d_cfg["batch_size"] // num_hosts, 1),
+                             shuffle=False, drop_last=False,
+                             num_workers=d_cfg.get("n_workers", 4),
+                             host_id=host_id, num_hosts=num_hosts)
+        loaders[f"{d_cfg['task']}--{d_cfg['name']}"] = loader
+    return loaders
+
+
+def get_best_name(eval_name: str, metric: dict):
+    """Metric that defines 'best' per task (utils/pipeline.py:168-179)."""
+    if "cap" in eval_name:
+        return "CIDEr" if "CIDEr" in metric else None
+    if "vqa" in eval_name or "qa" in eval_name:
+        return "accuracy"
+    if "ret" in eval_name:
+        return "video_r1" if "video_r1" in metric else None
+    return None
+
+
+def train(model, opts, tokenizer, train_loader, val_loaders,
+          state=None, start_step: int = 0, mesh=None):
+    run_cfg = opts.run_cfg
+    num_steps = run_cfg.num_train_steps
+    evaluate_fn = evaluation_registry[
+        opts.model_cfg.get("evaluation_type", "evaluation_mm")]
+
+    if mesh is None and jax.device_count() > 1:
+        mesh = create_mesh()
+    if state is None:
+        params = init_params(model, opts, tokenizer)
+        tx, _ = build_optimizer(params, run_cfg, opts.model_cfg, num_steps)
+        state = create_train_state(params, tx)
+    else:
+        tx, _ = build_optimizer(state.params, run_cfg, opts.model_cfg,
+                                num_steps)
+    if mesh is not None:
+        state = shard_state(mesh, state, fsdp=run_cfg.get("fsdp", False))
+
+    saver = ModelSaver(run_cfg.output_dir,
+                       run_cfg.get("remove_before_ckpt", True))
+    step_fns = {}
+    meters = {}
+    metric_logger_dict = defaultdict(dict)
+    best_indicator = {}
+    rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
+    global_step = start_step
+
+    for name, batch in train_loader:
+        task = name.split("--")[0]
+        vt = str(batch.pop("vision_transforms", "none"))
+        key = (task, vt)
+        if key not in step_fns:
+            step_fns[key] = make_train_step(model, tx, task,
+                                            vision_transforms=vt)
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        if mesh is not None:
+            arrays = shard_batch(mesh, arrays)
+        state, metrics = step_fns[key](state, arrays, rng)
+        global_step += 1
+
+        for k, v in metrics.items():
+            mname = f"loss_{name}/{k}"
+            meters.setdefault(mname, RunningMeter(mname))(float(v))
+        if global_step % 50 == 0:
+            LOGGER.info({m.name: None if m.val is None else round(m.val, 4)
+                         for m in meters.values()})
+
+        if (global_step + 1) % run_cfg.valid_steps == 0 or \
+                global_step >= num_steps:
+            eval_log = evaluate_fn(model, state.params, tokenizer,
+                                   val_loaders, run_cfg, global_step)
+            if jax.process_index() == 0:
+                for task_name, val_log in eval_log.items():
+                    for eval_name, metric in val_log.items():
+                        eval_name = f"{task_name}_{eval_name}"
+                        metric_logger_dict[eval_name][str(global_step)] = metric
+                        LOGGER.info("eval %s @ step %d: %s", eval_name,
+                                    global_step, metric)
+                        best_name = get_best_name(eval_name, metric)
+                        if best_name is None:
+                            continue
+                        hist = metric_logger_dict[eval_name]
+                        if ("best_step" not in hist
+                                or metric[best_name] >= hist["best_value"]):
+                            hist["best_step"] = global_step
+                            hist["best_value"] = metric[best_name]
+                            best_indicator[eval_name] = True
+                        else:
+                            best_indicator[eval_name] = False
+                saver.save(state, global_step, best_indicator,
+                           run_cfg.get("save_best", False))
+        if global_step >= num_steps:
+            break
+    return state, metric_logger_dict
+
+
+def test(model, opts, tokenizer, val_loaders, params):
+    evaluate_fn = evaluation_registry[
+        opts.model_cfg.get("evaluation_type", "evaluation_mm")]
+    eval_log = evaluate_fn(model, params, tokenizer, val_loaders,
+                           opts.run_cfg, 0)
+    for task_name, val_log in eval_log.items():
+        for eval_name, metric in val_log.items():
+            LOGGER.info("eval %s_%s: %s", task_name, eval_name, metric)
+    return eval_log

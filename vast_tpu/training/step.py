@@ -41,16 +41,23 @@ def split_step_rngs(rng):
     )
 
 
-def make_train_step(model, tx, task: str, mesh=None, fsdp: bool = False):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+def make_train_step(model, tx, task: str, mesh=None, fsdp: bool = False,
+                    vision_transforms: str = "none"):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    ``vision_transforms`` is static per dataset (batches carry only
+    arrays); it selects the on-device augmentation path.
+    """
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         step_rngs, dropout_rng = split_step_rngs(rng)
+        batch_in = dict(batch)
+        batch_in["vision_transforms"] = vision_transforms
 
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, batch, task, compute_loss=True,
+                {"params": params}, batch_in, task, compute_loss=True,
                 deterministic=False, step_rngs=step_rngs,
                 rngs={"dropout": dropout_rng})
             total = sum(out.values())
