@@ -174,8 +174,10 @@ class BeatsEncoder(nn.Module):
 
     def setup(self):
         c = self.cfg
-        # weight-norm parameterization of pos_conv (beats.py:289):
-        # kernel = g * v / ||v|| with the norm over (in/groups, k) per output.
+        # weight-norm parameterization of pos_conv (beats.py:289,
+        # nn.utils.weight_norm(..., dim=2)): kernel = g * v / ||v|| with the
+        # norm over (out, in/groups) PER KERNEL POSITION — g has one entry
+        # per tap. v stored as (k, in/groups, out) for lax.conv LIO layout.
         k = c.conv_pos
         groups = c.conv_pos_groups
         e = c.encoder_embed_dim
@@ -183,7 +185,7 @@ class BeatsEncoder(nn.Module):
         self.pos_conv_v = self.param(
             "pos_conv_v", nn.initializers.normal(std), (k, e // groups, e))
         self.pos_conv_g = self.param(
-            "pos_conv_g", nn.initializers.ones, (1, 1, e))
+            "pos_conv_g", nn.initializers.ones, (k, 1, 1))
         self.pos_conv_bias = self.param(
             "pos_conv_bias", nn.initializers.zeros, (e,))
         self.layers = [
@@ -197,7 +199,7 @@ class BeatsEncoder(nn.Module):
     def _pos_conv(self, x):
         c = self.cfg
         v = self.pos_conv_v
-        norm = jnp.sqrt(jnp.sum(v ** 2, axis=(0, 1), keepdims=True) + 1e-12)
+        norm = jnp.sqrt(jnp.sum(v ** 2, axis=(1, 2), keepdims=True) + 1e-12)
         kernel = (self.pos_conv_g / norm) * v  # (k, in/groups, out)
         y = jax.lax.conv_general_dilated(
             x.astype(c.dtype), kernel.astype(c.dtype),

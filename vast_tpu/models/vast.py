@@ -50,6 +50,8 @@ from vast_tpu.models.eva_vit import (
     EvaVisionTransformer,
     EvaVitConfig,
 )
+from vast_tpu.models.swin import SWIN_PRESETS, SwinConfig, SwinTransformer
+from vast_tpu.models.videoswin import VideoSwinConfig, VideoSwinTransformer
 from vast_tpu.ops.fbank import kaldi_fbank
 from vast_tpu.ops.image import (
     CLIP_MEAN,
@@ -127,6 +129,11 @@ class VASTConfig:
             base = EVA_PRESETS[t]
         elif t.startswith("clip"):
             base = CLIP_PRESETS[t]
+        elif t.startswith("swin"):
+            base = SWIN_PRESETS[t]
+        elif t.startswith("videoswin"):
+            return dataclasses.replace(VideoSwinConfig(), dtype=self.dtype,
+                                       remat=self.checkpointing)
         else:
             raise NotImplementedError(f"vision encoder {t}")
         return dataclasses.replace(base, image_size=self.vision_resolution,
@@ -213,6 +220,12 @@ class VASTModel(nn.Module):
         elif isinstance(vc, ClipVitConfig):
             self.vision_encoder = ClipVisionTransformer(vc)
             self.vision_dim = vc.width
+        elif isinstance(vc, SwinConfig):
+            self.vision_encoder = SwinTransformer(vc)
+            self.vision_dim = vc.num_features
+        elif isinstance(vc, VideoSwinConfig):
+            self.vision_encoder = VideoSwinTransformer(vc)
+            self.vision_dim = vc.num_features
         else:
             raise NotImplementedError(type(vc))
 
@@ -265,6 +278,13 @@ class VASTModel(nn.Module):
 
         Frames fold into the batch for the MXU (general_module.py:379-384).
         """
+        if self.cfg.vision_encoder_type.startswith("videoswin"):
+            # 3-D encoder consumes the whole clip; output (B, T', L', C)
+            # (general_module.py:395-398)
+            out = self.vision_encoder(pixels, deterministic=deterministic)
+            if self.cfg.frozen_vision:
+                out = jax.lax.stop_gradient(out)
+            return out
         b, n = pixels.shape[:2]
         x = pixels.reshape((b * n,) + pixels.shape[2:])
         if self.cfg.frozen_vision:
@@ -289,6 +309,9 @@ class VASTModel(nn.Module):
     # ---------------- pooling (general_module.py:426-449) --------------
 
     def pool_vision_for_contra(self, feature):
+        if self.cfg.vision_encoder_type.startswith(("swin", "videoswin")):
+            # no CLS token: mean over tokens (general_module.py:429-431)
+            return feature.mean(axis=2).mean(axis=1)
         return feature[:, :, 0].mean(axis=1)  # CLS per frame, mean over frames
 
     def pool_audio_for_contra(self, feature):

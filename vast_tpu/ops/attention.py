@@ -10,7 +10,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vast_tpu.ops.flash_attention import NEG_INF, flash_attention
+from vast_tpu.ops.flash_attention import (
+    NEG_INF,
+    SINGLE_BLOCK_MAX_KV,
+    flash_attention,
+    flash_attention_blhd,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -26,11 +31,17 @@ def reference_attention(q, k, v, bias=None):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
-def _use_pallas(q, k) -> bool:
+def _use_pallas_shapes(b, lq, lk, h, d) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    # tiny sequences: XLA fusion wins over kernel launch overhead
-    return q.shape[2] * k.shape[2] >= 128 * 128
+    if lq * lk < 128 * 128:
+        # tiny problems: XLA fusion wins over kernel launch overhead
+        return False
+    # when tile padding inflates the kernel's compute too much (short
+    # queries like the 40-token fusion cross-attention), XLA wins
+    waste = (_round_up(lq, 128) / lq) * (_round_up(lk, 128) / lk) \
+        * (_round_up(d, 128) / d)
+    return waste <= 2.5
 
 
 def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,
@@ -47,46 +58,46 @@ def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,
     if scale is None:
         scale = d ** -0.5
 
-    qh = jnp.swapaxes(q, 1, 2) * jnp.asarray(scale, q.dtype)
-    kh = jnp.swapaxes(k, 1, 2)
-    vh = jnp.swapaxes(v, 1, 2)
-
     add_bias = None
     if bias is not None:
-        add_bias = jnp.broadcast_to(
-            bias.astype(jnp.float32),
-            (bias.shape[0], bias.shape[1], lq, lk),
-        )
+        add_bias = bias.astype(jnp.float32)
     if mask is not None:
         mb = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
         while mb.ndim < 4:
             mb = mb[:, None]
         add_bias = mb if add_bias is None else add_bias + mb
 
-    use_pallas = impl == "pallas" or (impl == "auto" and _use_pallas(qh, kh))
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and _use_pallas_shapes(b, lq, lk, h, d))
     if not use_pallas:
-        out = reference_attention(qh, kh, vh, add_bias)
+        qh = jnp.swapaxes(q, 1, 2) * jnp.asarray(scale, q.dtype)
+        out = reference_attention(qh, jnp.swapaxes(k, 1, 2),
+                                  jnp.swapaxes(v, 1, 2), add_bias)
         return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
     # pad to hardware tiles: D -> 128 lanes, L -> block multiples
     dp = _round_up(d, 128)
     lqp = _round_up(lq, 128)
     lkp = _round_up(lk, 128)
-    pad_q = [(0, 0), (0, 0), (0, lqp - lq), (0, dp - d)]
-    pad_k = [(0, 0), (0, 0), (0, lkp - lk), (0, dp - d)]
-    qp = jnp.pad(qh, pad_q)
-    kp = jnp.pad(kh, pad_k)
-    vp = jnp.pad(vh, pad_k)
+    qs = q * jnp.asarray(scale, q.dtype)
 
     if add_bias is None and lk != lkp:
         add_bias = jnp.zeros((1, 1, lq, lk), jnp.float32)
     if add_bias is not None:
+        add_bias = jnp.broadcast_to(
+            add_bias, (add_bias.shape[0], add_bias.shape[1], lq, lk))
         add_bias = jnp.pad(
             add_bias,
             [(0, 0), (0, 0), (0, lqp - lq), (0, lkp - lk)],
             constant_values=NEG_INF,
         )
 
-    out = flash_attention(qp, kp, vp, add_bias, interpret=interpret)
+    qh = jnp.swapaxes(qs, 1, 2)
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
+    pad_q = [(0, 0), (0, 0), (0, lqp - lq), (0, dp - d)]
+    pad_k = [(0, 0), (0, 0), (0, lkp - lk), (0, dp - d)]
+    out = flash_attention(jnp.pad(qh, pad_q), jnp.pad(kh, pad_k),
+                          jnp.pad(vh, pad_k), add_bias, interpret=interpret)
     out = out[:, :, :lq, :d]
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)

@@ -1,14 +1,21 @@
 """Pallas TPU flash attention (self + cross, optional additive bias).
 
 Replaces the reference's xformers ``memory_efficient_attention`` CUDA path
-(model/vision_encoders/evaclip/eva_vit_model.py:330) and every materialized
-softmax(QK^T)V in the encoders. Online-softmax tiling over the KV axis; the
-KV grid dimension is innermost so scratch accumulators persist across its
-sequential iterations on TPU.
+(model/vision_encoders/evaclip/eva_vit_model.py:330) and every
+materialized softmax(QK^T)V in the encoders — the XLA fallback round-trips
+the (B, H, Lq, Lk) probability tensor through HBM, which is the dominant
+cost at encoder sequence lengths (257-4k).
 
-Layout: q (B, H, Lq, D), k/v (B, H, Lk, D), bias (1|B, 1|H, Lq, Lk) additive
-(use large negatives for masking). D and the sequence lengths are padded to
-hardware tiles by the wrapper in ``ops/attention.py``.
+Two kernels:
+  * single-block: for Lk <= 4096 the whole K/V fits VMEM, so each grid
+    step computes an entire softmax row block with no online rescaling —
+    grid (B*H, Lq/block_q);
+  * looped: for longer Lk, classic online-softmax accumulation with the
+    KV tile axis innermost (sequential on TPU, scratch persists).
+
+Layout: q (B, H, Lq, D), k/v (B, H, Lk, D), bias (1|B, 1|H, Lq, Lk)
+additive (large negatives mask). D and lengths are padded to tiles by the
+wrapper in ``ops/attention.py``.
 """
 
 from __future__ import annotations
@@ -21,11 +28,140 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+SINGLE_BLOCK_MAX_KV = 4096
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
-                  *, nk: int, has_bias: bool):
-    ik = pl.program_id(3)
+def _blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, has_bias: bool):
+    """Layout-native single-block kernel: q/k/v blocks are contiguous
+    (1, bq|lk, H, D) slices of the (B, L, H, D) arrays — no HBM transpose.
+    The head axis rides as a batched-matmul dimension."""
+    # VMEM-local transposes to put the head (batch) axis first — Mosaic
+    # requires batch dims at position 0; lane dim (D) is untouched.
+    q = jnp.swapaxes(q_ref[0], 0, 1)  # (H, bq, D)
+    k = jnp.swapaxes(k_ref[0], 0, 1)  # (H, lk, D)
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (H, bq, lk)
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.where(l == 0.0, 1.0, l)
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (H, bq, D)
+    o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)  # (bq, H, D)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_h", "interpret"))
+def flash_attention_blhd(q, k, v, bias=None, *, block_q: int = 128,
+                         block_h: int = 8, interpret: bool = False):
+    """Single-block flash attention over (B, L, H, D) tensors.
+
+    For Lk <= SINGLE_BLOCK_MAX_KV; q pre-scaled and padded (L multiple of
+    block, D multiple of 128). bias: (1|B, 1|H, Lq, Lk) additive. The head
+    axis is blocked (``block_h``) to bound VMEM.
+    """
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    block_q = _pick_block(lq, block_q)
+    nq = lq // block_q
+    bh = h
+    for cand in range(min(block_h, h), 0, -1):
+        if h % cand == 0:
+            bh = cand
+            break
+    nh = h // bh
+    grid = (b, nh, nq)
+    in_specs = [
+        pl.BlockSpec((1, block_q, bh, d), lambda ib, ih, iq: (ib, iq, ih, 0)),
+        pl.BlockSpec((1, lk, bh, d), lambda ib, ih, iq: (ib, 0, ih, 0)),
+        pl.BlockSpec((1, lk, bh, d), lambda ib, ih, iq: (ib, 0, ih, 0)),
+    ]
+    has_bias = bias is not None
+    if has_bias:
+        bias = jnp.broadcast_to(bias, (bias.shape[0], h, lq, lk))
+        if bias.shape[0] == 1:
+            in_specs.append(pl.BlockSpec(
+                (1, bh, block_q, lk), lambda ib, ih, iq: (0, ih, iq, 0)))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, bh, block_q, lk), lambda ib, ih, iq: (ib, ih, iq, 0)))
+        args = (q, k, v, bias)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1),
+                                     lambda ib, ih, iq: (0, 0, 0, 0)))
+        args = (q, k, v, jnp.zeros((1, 1, 1, 1), jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_blhd_kernel, has_bias=has_bias),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, bh, d),
+                               lambda ib, ih, iq: (ib, iq, ih, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(*args)
+
+
+def _pick_block(l: int, target: int) -> int:
+    """Largest 128-multiple block <= target dividing l (l is a multiple
+    of 128 by wrapper construction)."""
+    if l <= target:
+        return l
+    for cand in range(target, 127, -128):
+        if l % cand == 0:
+            return cand
+    return 128
+
+
+def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, has_bias: bool):
+    """Whole-KV softmax for a (G, bq, d) query block; G batched (B*H)
+    problems per grid step amortize per-step pipeline overhead."""
+    q = q_ref[...]  # (G, bq, d)
+    k = k_ref[...]  # (G, lk, d)
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, bq, lk)
+    if has_bias:
+        s = s + bias_ref[...].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _single_kernel_bias4(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """Variant with a per-problem bias block (1, G, bq, lk)."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.where(l == 0.0, 1.0, l)
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr,
+                   acc_scr, *, nk: int, has_bias: bool):
+    ik = pl.program_id(2)
 
     @pl.when(ik == 0)
     def _init():
@@ -33,42 +169,37 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # (bq, d)
-    k = k_ref[0, 0]  # (bk, d)
-    v = v_ref[0, 0]  # (bk, d)
-
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk)
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if has_bias:
-        s = s + bias_ref[0, 0].astype(jnp.float32)
+        s = s + bias_ref[0].astype(jnp.float32)
 
-    m_prev = m_scr[:]  # (bq, 1)
+    m_prev = m_scr[:]
     l_prev = l_scr[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_next)
     p = jnp.exp(s - m_next)
-    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-
+    l_scr[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        preferred_element_type=jnp.float32)
     m_scr[:] = m_next
-    l_scr[:] = l_next
 
     @pl.when(ik == nk - 1)
     def _finalize():
         l = l_scr[:]
-        # rows that saw only -inf (fully masked) produce l == 0; emit zeros.
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention(q, k, v, bias=None, *, block_q: int = 128,
-                    block_k: int = 128, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
+                    block_k: int = 1024, interpret: bool = False):
     """Tiled attention; q/k/v already scaled and tile-padded.
 
     q: (B, H, Lq, D); k, v: (B, H, Lk, D); bias: (Bb, Hb, Lq, Lk) with
@@ -76,47 +207,107 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 128,
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    block_q = min(block_q, lq)
-    block_k = min(block_k, lk)
-    assert lq % block_q == 0 and lk % block_k == 0, (lq, lk, block_q, block_k)
-    nq, nk = lq // block_q, lk // block_k
-
-    grid = (b, h, nq, nk)
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
-    k_spec = pl.BlockSpec((1, 1, block_k, d), lambda ib, ih, iq, ik: (ib, ih, ik, 0))
-    o_spec = pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
-    in_specs = [q_spec, k_spec, k_spec]
+    bh = b * h
+    qf = q.reshape(bh, lq, d)
+    kf = k.reshape(bh, lk, d)
+    vf = v.reshape(bh, lk, d)
 
     has_bias = bias is not None
     if has_bias:
         bb, hb = bias.shape[0], bias.shape[1]
-        bias_spec = pl.BlockSpec(
-            (1, 1, block_q, block_k),
-            lambda ib, ih, iq, ik, bb=bb, hb=hb: (
-                ib if bb > 1 else 0, ih if hb > 1 else 0, iq, ik),
-        )
-        in_specs.append(bias_spec)
-        args = (q, k, v, bias)
-    else:
-        in_specs.append(None)
-        args = (q, k, v, jnp.zeros((1, 1, 1, 1), q.dtype))
-        # placeholder never read; give it a full-array spec
-        in_specs[-1] = pl.BlockSpec((1, 1, 1, 1), lambda ib, ih, iq, ik: (0, 0, 0, 0))
+        bias_bh = 1 if (bb == 1 and hb == 1) else bh
+        if bias_bh == bh:
+            bias = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(bh, lq, lk)
+        else:
+            bias = bias.reshape(1, lq, lk)
 
-    kernel = functools.partial(_flash_kernel, nk=nk, has_bias=has_bias)
-    return pl.pallas_call(
-        kernel,
+    block_q = _pick_block(lq, block_q)
+    nq = lq // block_q
+
+    if lk <= SINGLE_BLOCK_MAX_KV:
+        # pick the BH batching factor G so VMEM stays ~<=10MB
+        per_g = (2 * lk * d * q.dtype.itemsize          # k + v blocks
+                 + 2 * block_q * lk * 4                 # s + p fp32
+                 + 2 * block_q * d * q.dtype.itemsize)  # q + o
+        budget = 13 * 1024 * 1024
+        g = 1
+        for cand in (8, 4, 2):
+            if bh % cand == 0 and cand * per_g <= budget:
+                g = cand
+                break
+        bias_per_bh = has_bias and bias.shape[0] == bh
+        if bias_per_bh:
+            bias = bias.reshape(bh // g, g, lq, lk)
+
+        grid = (bh // g, nq)
+        in_specs = [
+            pl.BlockSpec((g, block_q, d), lambda ibh, iq: (ibh, iq, 0)),
+            pl.BlockSpec((g, lk, d), lambda ibh, iq: (ibh, 0, 0)),
+            pl.BlockSpec((g, lk, d), lambda ibh, iq: (ibh, 0, 0)),
+        ]
+        if bias_per_bh:
+            in_specs.append(pl.BlockSpec(
+                (1, g, block_q, lk), lambda ibh, iq: (ibh, 0, iq, 0)))
+            args = (qf, kf, vf, bias)
+            kernel = _single_kernel_bias4
+        elif has_bias:
+            # shared bias broadcasts over the G problems in a step
+            in_specs.append(pl.BlockSpec(
+                (1, block_q, lk), lambda ibh, iq: (0, iq, 0)))
+            args = (qf, kf, vf, bias)
+            kernel = functools.partial(_single_kernel, has_bias=True)
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 1), lambda ibh, iq: (0, 0, 0)))
+            args = (qf, kf, vf, jnp.zeros((1, 1, 1), jnp.float32))
+            kernel = functools.partial(_single_kernel, has_bias=False)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((g, block_q, d),
+                                   lambda ibh, iq: (ibh, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(*args)
+        return out.reshape(b, h, lq, d)
+
+    block_k = _pick_block(lk, block_k)
+    nk = lk // block_k
+    grid = (bh, nq, nk)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+    ]
+    if has_bias:
+        if bias.shape[0] == 1:
+            in_specs.append(pl.BlockSpec(
+                (1, block_q, block_k), lambda ibh, iq, ik: (0, iq, ik)))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, block_q, block_k), lambda ibh, iq, ik: (ibh, iq, ik)))
+        args = (qf, kf, vf, bias)
+    else:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1), lambda ibh, iq, ik: (0, 0, 0)))
+        args = (qf, kf, vf, jnp.zeros((1, 1, 1), jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_looped_kernel, nk=nk, has_bias=has_bias),
         grid=grid,
         in_specs=in_specs,
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda ibh, iq, ik: (ibh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(*args)
+    return out.reshape(b, h, lq, d)

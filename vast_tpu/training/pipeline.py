@@ -22,6 +22,7 @@ from vast_tpu.data.loader import BatchLoader, MetaLoader, compute_train_steps
 from vast_tpu.data.tokenizer import BertTokenizer
 from vast_tpu.evaluation import evaluation_registry
 from vast_tpu.logger import LOGGER, RunningMeter, add_log_to_file
+from vast_tpu.profiling import StepTimer
 from vast_tpu.models import model_registry
 from vast_tpu.models.vast import VASTConfig
 from vast_tpu.parallel.mesh import create_mesh, shard_batch
@@ -173,6 +174,7 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
     best_indicator = {}
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
     global_step = start_step
+    timer = StepTimer()
 
     for name, batch in train_loader:
         task = name.split("--")[0]
@@ -191,9 +193,13 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
         for k, v in metrics.items():
             mname = f"loss_{name}/{k}"
             meters.setdefault(mname, RunningMeter(mname))(float(v))
+        timer.tick()
         if global_step % 50 == 0:
             LOGGER.info({m.name: None if m.val is None else round(m.val, 4)
                          for m in meters.values()})
+            if timer.ema_s:
+                LOGGER.info("step time ema %.3fs (%.2f steps/s)",
+                            timer.ema_s, 1.0 / timer.ema_s)
 
         if (global_step + 1) % run_cfg.valid_steps == 0 or \
                 global_step >= num_steps:
@@ -221,6 +227,8 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
                            run_cfg.get("save_best", False))
         if global_step >= num_steps:
             break
+    if timer.summary():
+        LOGGER.info("step timing: %s", timer.summary())
     return state, metric_logger_dict
 
 
