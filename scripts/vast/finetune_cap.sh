@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+# Captioning finetuning launches (reference: scripts/vast/finetune_cap.sh).
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+CONFIG=${1:-vast_tpu/configs/finetune_cfg/caption-msrvtt.json}
+OUTPUT=${2:-output/$(basename "${CONFIG%.json}")}
+python3 run.py --config "$CONFIG" --output_dir "$OUTPUT"     --pretrain_dir "${PRETRAIN_DIR:-}" "${@:3}"

@@ -165,3 +165,27 @@ def test_mask_tokens_rates():
     assert 0.5 < frac_sel < 0.7
     masked = (corrupted == 103) & sel
     assert 0.7 < masked.sum() / sel.sum() < 0.9
+
+
+def test_flash_attention_gradients_match_xla():
+    """Pallas kernels are not auto-differentiable; the custom VJP must give
+    the same gradients as the XLA path (training on TPU depends on this)."""
+    b, l, h, d = 2, 130, 2, 40
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, l, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, l, h, d), jnp.float32)
+    mask = jnp.ones((b, 1, l, l), bool).at[:, :, :, -7:].set(False)
+
+    def loss(impl):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, mask=mask, impl=impl,
+                                       interpret=True)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    g_pallas = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3)

@@ -83,6 +83,50 @@ class BatchLoader:
             stop.set()
 
 
+class StreamBatchLoader:
+    """Batching over an iterable dataset (srcindexed tar streams).
+
+    The dataset handles host sharding itself; batches are collated with
+    the dataset's collate. Infinite for training datasets (the stream
+    re-iterates), bounded for eval."""
+
+    def __init__(self, dataset, batch_size: int, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int):
+        pass
+
+    def __iter__(self):
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            buf = []
+            for sample in self.dataset:
+                if stop.is_set():
+                    return
+                buf.append(sample)
+                if len(buf) == self.batch_size:
+                    out_q.put(self.dataset.collate(buf))
+                    buf = []
+            if buf:
+                out_q.put(self.dataset.collate(buf))
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = out_q.get()
+                if b is None:
+                    return
+                yield b
+        finally:
+            stop.set()
+
+
 class MetaLoader:
     """Weighted multi-task mixing (data/loader.py:8-60).
 

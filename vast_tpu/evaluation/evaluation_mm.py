@@ -28,6 +28,7 @@ from vast_tpu.evaluation.metrics.coco_eval import compute_caption_metrics
 from vast_tpu.evaluation.vqa_metrics import exact_match_accuracy
 from vast_tpu.logger import LOGGER
 from vast_tpu.models.generation import GenerationConfig, generate
+from vast_tpu.parallel.collectives import gather_array, gather_list
 
 
 def evaluate_mm(model, params, tokenizer, val_loaders: dict, run_cfg,
@@ -95,13 +96,17 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg):
         tok_buf.append(np.asarray(batch["caption_tokens"]))
         mask_buf.append(np.asarray(batch["caption_attention_mask"]))
 
-    feat_t = np.concatenate(feats_t)
-    input_ids = np.concatenate(tok_buf)
-    attention_mask = np.concatenate(mask_buf)
+    # cross-host gather (identity on single host) — replaces
+    # all_gather_list / ddp_allgather (evaluation_mm.py:208-222)
+    ids = gather_list(ids)
+    ids_txt = gather_list(ids_txt)
+    feat_t = gather_array(np.concatenate(feats_t))
+    input_ids = gather_array(np.concatenate(tok_buf))
+    attention_mask = gather_array(np.concatenate(mask_buf))
 
     val_log = {}
     for st in subtasks:
-        fc = np.concatenate(cond_feats[st])
+        fc = gather_array(np.concatenate(cond_feats[st]))
         score = feat_t @ fc.T
         log = compute_metric_ret(score, ids, ids_txt, "forward")
         log = {k.replace("forward", "video"): v for k, v in log.items()}
@@ -112,7 +117,7 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg):
         val_log[f"ret_itc_{st}"] = log
 
         # ITM rerank
-        cseq = np.concatenate(cond_seqs[st])
+        cseq = gather_array(np.concatenate(cond_seqs[st]))
         refined = rerank_scores(model, params, cseq, input_ids,
                                 attention_mask, score,
                                 int(run_cfg.get("itm_rerank_num", 50)))
@@ -255,6 +260,7 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
                            f"results_test_{dset_name}")
     os.makedirs(out_dir, exist_ok=True)
     for st in subtasks:
+        results[st] = gather_list(results[st])
         annfile = getattr(loader.dataset, "annfile", None)
         with open(os.path.join(out_dir, f"step_{global_step}_{st}.json"),
                   "w") as f:
@@ -301,7 +307,9 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg):
             preds[st] += tokenizer.batch_decode(np.asarray(toks))
 
     val_log = {}
+    gt_answers = gather_list(gt_answers)
     for st in subtasks:
+        preds[st] = gather_list(preds[st])
         acc = exact_match_accuracy(preds[st], gt_answers)
         val_log[f"vqa_{st}"] = {"accuracy": round(acc * 100, 2)}
     return val_log

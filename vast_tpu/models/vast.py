@@ -13,10 +13,10 @@ Re-architecture of model/vast.py + model/general_module.py for TPU:
   (model/vast.py:395-443, concat_all_gather / all_gather_with_grad);
   here the batch axis is sharded over the ``dp`` mesh axis and XLA
   inserts the ICI all-gathers — ITC targets are simply ``arange(B)``.
-  ITC similarity uses stop_gradient'd gathered features implicitly just
-  as the reference does (both directions of the matrix come from the
-  same global tensors, gradients flow to both — matching
-  all-rank-symmetric DDP training).
+  Each ITC direction stop-gradients its key-side features, matching the
+  reference's detached ``concat_all_gather`` (model/vast.py:395-399);
+  ITM keeps gradients through the gathered condition features like
+  ``all_gather_with_grad`` (model/vast.py:422).
 
 * Preprocessing (frame resize/normalize, waveform->fbank->clip slicing)
   runs on device as part of the DAG when hosts deliver raw inputs
@@ -112,7 +112,14 @@ class VASTConfig:
         vtype = kw.get("vision_encoder_type", "evaclip01_giant")
         atype = kw.get("audio_encoder_type", "beats")
         if isinstance(kw.get("vision_cfg"), dict):
-            vc_cls = ClipVitConfig if vtype.startswith("clip") else EvaVitConfig
+            if vtype.startswith("clip"):
+                vc_cls = ClipVitConfig
+            elif vtype.startswith("videoswin"):
+                vc_cls = VideoSwinConfig
+            elif vtype.startswith("swin"):
+                vc_cls = SwinConfig
+            else:
+                vc_cls = EvaVitConfig
             kw["vision_cfg"] = vc_cls(**kw["vision_cfg"], dtype=dtype)
         if isinstance(kw.get("audio_cfg"), dict):
             ac_cls = AstConfig if atype.startswith("ast") else BeatsConfig
@@ -517,9 +524,14 @@ class VASTModel(nn.Module):
         for si, st in enumerate(subtasks):
             feat_cond = self.get_feature(batch, f"feat_{st[1:]}", cache,
                                          deterministic, step_rngs)
-            # global-batch ITC (model/vast.py:400-417)
-            sim_c2t = feat_cond @ feat_t.T / self.contra_temp
-            sim_t2c = feat_t @ feat_cond.T / self.contra_temp
+            # global-batch ITC (model/vast.py:400-417). The reference
+            # gathers the OTHER side detached (concat_all_gather has no
+            # grad), so each direction only backprops through its query
+            # features; stop_gradient reproduces that exactly here.
+            sim_c2t = feat_cond @ jax.lax.stop_gradient(feat_t).T \
+                / self.contra_temp
+            sim_t2c = feat_t @ jax.lax.stop_gradient(feat_cond).T \
+                / self.contra_temp
             loss_itc.append(
                 (label_smoothed_ce(sim_c2t, targets, c.label_smoothing)
                  + label_smoothed_ce(sim_t2c, targets, c.label_smoothing)) / 2)

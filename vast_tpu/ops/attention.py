@@ -7,6 +7,8 @@ XLA reference path are interchangeable per backend/shape.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,34 @@ def reference_attention(q, k, v, bias=None):
         s = s + bias.astype(s.dtype)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+# Pallas kernels are not auto-differentiable: the flash forward gets a
+# custom VJP whose backward recomputes attention through the XLA reference
+# (memory profile of the backward then matches a standard training step;
+# a dedicated backward kernel is a further optimization).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_fwd(qh, kh, vh, add_bias, interpret):
+    return flash_attention(qh, kh, vh, add_bias, interpret=interpret)
+
+
+def _flash_fwd_fwd(qh, kh, vh, add_bias, interpret):
+    out = flash_attention(qh, kh, vh, add_bias, interpret=interpret)
+    return out, (qh, kh, vh, add_bias)
+
+
+def _flash_fwd_bwd(interpret, residuals, g):
+    qh, kh, vh, add_bias = residuals
+    if add_bias is None:
+        _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v),
+                         qh, kh, vh)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    _, vjp = jax.vjp(reference_attention, qh, kh, vh, add_bias)
+    return vjp(g)
+
+
+_flash_fwd.defvjp(_flash_fwd_fwd, _flash_fwd_bwd)
 
 
 def _use_pallas_shapes(b, lq, lk, h, d) -> bool:
@@ -97,7 +127,7 @@ def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,
     vh = jnp.swapaxes(v, 1, 2)
     pad_q = [(0, 0), (0, 0), (0, lqp - lq), (0, dp - d)]
     pad_k = [(0, 0), (0, 0), (0, lkp - lk), (0, dp - d)]
-    out = flash_attention(jnp.pad(qh, pad_q), jnp.pad(kh, pad_k),
-                          jnp.pad(vh, pad_k), add_bias, interpret=interpret)
+    out = _flash_fwd(jnp.pad(qh, pad_q), jnp.pad(kh, pad_k),
+                     jnp.pad(vh, pad_k), add_bias, interpret)
     out = out[:, :, :lq, :d]
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)

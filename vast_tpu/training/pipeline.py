@@ -18,7 +18,8 @@ import numpy as np
 
 from vast_tpu.config import EasyDict
 from vast_tpu.data import data_registry
-from vast_tpu.data.loader import BatchLoader, MetaLoader, compute_train_steps
+from vast_tpu.data.loader import (BatchLoader, MetaLoader,
+    StreamBatchLoader, compute_train_steps)
 from vast_tpu.data.tokenizer import BertTokenizer
 from vast_tpu.evaluation import evaluation_registry
 from vast_tpu.logger import LOGGER, RunningMeter, add_log_to_file
@@ -103,16 +104,26 @@ def create_train_dataloaders(opts, tokenizer):
     lengths = []
     host_id, num_hosts = jax.process_index(), jax.process_count()
     for d_cfg in opts.data_cfg.train:
-        ds = data_registry[d_cfg["type"]](d_cfg, opts, tokenizer)
+        is_stream = d_cfg["type"] == "srcindexed"
+        if is_stream:
+            ds = data_registry[d_cfg["type"]](d_cfg, opts, tokenizer,
+                                              host_id=host_id,
+                                              num_hosts=num_hosts)
+        else:
+            ds = data_registry[d_cfg["type"]](d_cfg, opts, tokenizer)
         lengths.append(len(ds) if hasattr(ds, "__len__") else 10 ** 9)
         per_host_bs = max(
             d_cfg["batch_size"]
             // opts.run_cfg.get("gradient_accumulation_steps", 1)
             // num_hosts, 1)
-        loader = BatchLoader(ds, per_host_bs, shuffle=True,
-                             num_workers=d_cfg.get("n_workers", 4),
-                             seed=opts.run_cfg.get("seed", 50),
-                             host_id=host_id, num_hosts=num_hosts)
+        if is_stream:
+            assert "steps" in d_cfg, "srcindexed datasets need 'steps'"
+            loader = StreamBatchLoader(ds, per_host_bs)
+        else:
+            loader = BatchLoader(ds, per_host_bs, shuffle=True,
+                                 num_workers=d_cfg.get("n_workers", 4),
+                                 seed=opts.run_cfg.get("seed", 50),
+                                 host_id=host_id, num_hosts=num_hosts)
         loaders[f"{d_cfg['task']}--{d_cfg['name']}"] = loader
     steps = compute_train_steps(opts.data_cfg.train, opts.run_cfg, lengths)
     named = {name: (loader, ratio)
