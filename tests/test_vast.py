@@ -152,3 +152,21 @@ def test_label_smoothed_ce_matches_torch():
     theirs = float(torch.nn.functional.cross_entropy(
         torch.tensor(logits), torch.tensor(targets), label_smoothing=0.1))
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_vast27m_pretrain_variant(model_and_params):
+    """Separate caption streams per modality (model/vast.py:351-371); the
+    reference's ret_vast27m path was broken/unexercised — ours must work."""
+    model, params = model_and_params
+    batch = dict(tiny_batch(with_subtitle=True))
+    batch["vision_caption_tokens"] = batch["caption_tokens"]
+    batch["vision_caption_attention_mask"] = batch["caption_attention_mask"]
+    batch["audio_caption_tokens"] = batch["caption_tokens"]
+    batch["audio_caption_attention_mask"] = batch["caption_attention_mask"]
+    batch["omni_caption_tokens"] = batch["caption_tokens"]
+    batch["omni_caption_attention_mask"] = batch["caption_attention_mask"]
+    out = apply_model(model, params, batch,
+                      "ret%tvas%tv%ta_cap%tvas%tv%ta")
+    assert set(out) == {"loss_itc", "loss_itm", "loss_cap"}
+    for v in out.values():
+        assert np.isfinite(float(v))

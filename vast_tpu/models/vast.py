@@ -430,9 +430,13 @@ class VASTModel(nn.Module):
             sp = self.get_feature(batch, "audio_spectrograms", cache,
                                   deterministic, step_rngs)
             val = self.forward_audio_encoder(sp, deterministic)
-        elif key == "caption_output":
+        elif key == "caption_output" or key.startswith("text_output@"):
+            # generic text stream: caption / vision_caption / audio_caption /
+            # omni_caption (vast27m variants — model/vast.py:268-314)
+            stream = (key.split("@", 1)[1] if "@" in key else "caption")
             val = self.multimodal_encoder.encode(
-                batch["caption_tokens"], batch["caption_attention_mask"],
+                batch[f"{stream}_tokens"],
+                batch[f"{stream}_attention_mask"],
                 deterministic=deterministic)
         elif key == "subtitle_output":
             val = self.multimodal_encoder.encode(
@@ -456,9 +460,13 @@ class VASTModel(nn.Module):
                                       deterministic, step_rngs)
                      for m in key.split("_")[-1]]
             val = jnp.concatenate(parts, axis=1)
-        elif key == "feat_t":
-            co = self.get_feature(batch, "caption_output", cache,
-                                  deterministic, step_rngs)
+        elif key == "feat_t" or key.startswith("feat_t@"):
+            stream = (key.split("@", 1)[1] if "@" in key else "caption")
+            co = self.get_feature(
+                batch,
+                "caption_output" if stream == "caption"
+                else f"text_output@{stream}",
+                cache, deterministic, step_rngs)
             val = _l2norm(self.contra_head_t(self.pool_text_for_contra(co)))
         elif key == "feat_s":
             so = self.get_feature(batch, "subtitle_output", cache,
@@ -499,10 +507,14 @@ class VASTModel(nn.Module):
     # ---------------- task forwards ----------------
 
     def forward_ret(self, batch, subtasks, compute_loss=True,
-                    deterministic=True, step_rngs=None):
+                    deterministic=True, step_rngs=None, cache=None,
+                    text_stream: str = "caption"):
         c = self.cfg
-        cache = {}
-        feat_t = self.get_feature(batch, "feat_t", cache, deterministic, step_rngs)
+        cache = {} if cache is None else cache
+        feat_key = ("feat_t" if text_stream == "caption"
+                    else f"feat_t@{text_stream}")
+        feat_t = self.get_feature(batch, feat_key, cache, deterministic,
+                                  step_rngs)
         if not compute_loss:
             out = {"feat_t": feat_t,
                    "input_ids": batch["caption_tokens"],
@@ -515,8 +527,8 @@ class VASTModel(nn.Module):
                     step_rngs)
             return out
 
-        input_ids = batch["caption_tokens"]
-        attention_mask = batch["caption_attention_mask"]
+        input_ids = batch[f"{text_stream}_tokens"]
+        attention_mask = batch[f"{text_stream}_attention_mask"]
         bs = feat_t.shape[0]
         targets = jnp.arange(bs)
         loss_itc, loss_itm = [], []
@@ -685,8 +697,27 @@ class VASTModel(nn.Module):
         out = {}
         for head, subtasks in parse_task_string(task):
             if head.startswith("ret"):
-                out.update(self.forward_ret(batch, subtasks, compute_loss,
-                                            deterministic, step_rngs))
+                if "vision_caption_tokens" in batch:
+                    # vast27m: per-modality caption streams pair with their
+                    # modality group (fixes the reference's unexercised
+                    # forward_ret_vast27m, model/vast.py:690-694)
+                    cache = {}
+                    for st in subtasks:
+                        stream = {"tv": "vision_caption",
+                                  "ta": "audio_caption"}.get(
+                                      st, "omni_caption")
+                        r = self.forward_ret(batch, [st], compute_loss,
+                                             deterministic, step_rngs,
+                                             cache=cache,
+                                             text_stream=stream)
+                        for k, v in r.items():
+                            if compute_loss:
+                                out[k] = out.get(k, 0) + v / len(subtasks)
+                            else:
+                                out[k] = v
+                else:
+                    out.update(self.forward_ret(batch, subtasks, compute_loss,
+                                                deterministic, step_rngs))
             elif head.startswith("cap"):
                 # vast27m variant: separate caption streams per modality
                 # (model/vast.py:655-688) — selected by key presence.

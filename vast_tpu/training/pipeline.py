@@ -186,6 +186,7 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
     global_step = start_step
     timer = StepTimer()
+    nan_strikes = 0
 
     for name, batch in train_loader:
         task = name.split("--")[0]
@@ -201,9 +202,27 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
         state, metrics = step_fns[key](state, arrays, rng)
         global_step += 1
 
-        for k, v in metrics.items():
-            mname = f"loss_{name}/{k}"
-            meters.setdefault(mname, RunningMeter(mname))(float(v))
+        # fetch metrics to host only periodically: each float() is a
+        # device sync, which dominates step time on a remote TPU link
+        metrics_every = int(run_cfg.get("metrics_every", 10))
+        if global_step % metrics_every == 0 or global_step >= num_steps:
+            bad = 0
+            for k, v in metrics.items():
+                v = float(v)
+                if not np.isfinite(v):
+                    bad += 1
+                mname = f"loss_{name}/{k}"
+                meters.setdefault(mname, RunningMeter(mname))(v)
+            if bad:
+                nan_strikes += 1
+                LOGGER.error("non-finite loss at step %d (%d strikes)",
+                             global_step, nan_strikes)
+                if nan_strikes >= 3:
+                    raise FloatingPointError(
+                        f"aborting: non-finite losses for {nan_strikes} "
+                        f"consecutive checks (step {global_step})")
+            else:
+                nan_strikes = 0
         timer.tick()
         if global_step % 50 == 0:
             LOGGER.info({m.name: None if m.val is None else round(m.val, 4)
