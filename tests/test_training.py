@@ -134,3 +134,44 @@ def test_saver_removes_previous(tmp_path):
     import os
     names = set(os.listdir(saver.ckpt_dir))
     assert "model_step_2" in names and "model_step_1" not in names
+
+
+def test_tp_sharding_matches_replicated():
+    """Megatron-style tensor parallelism over 'tp': loss must match the
+    replicated computation bit-for-bit-ish."""
+    mesh = create_mesh(dp=2, fsdp=1, tp=4)
+    model, state, step, batch, _ = build("ret%tva")
+    s_rep, m_rep = step(state, batch, jax.random.PRNGKey(0))
+
+    from vast_tpu.parallel.mesh import tp_param_sharding
+    from jax.sharding import PartitionSpec as P
+    model2, state2, step2, _, _ = build("ret%tva")
+    sh = tp_param_sharding(mesh, state2.params)
+    # at least the big kernels must actually be sharded
+    specs = [s.spec for s in jax.tree.leaves(sh)]
+    assert any(spec == P(None, "tp") for spec in specs)
+    assert any(spec == P("tp", None) for spec in specs)
+    state2 = shard_state(mesh, state2, tp=True)
+    sbatch = shard_batch(mesh, batch)
+    s_tp, m_tp = step2(state2, sbatch, jax.random.PRNGKey(0))
+    for k in m_rep:
+        np.testing.assert_allclose(float(m_rep[k]), float(m_tp[k]),
+                                   rtol=2e-4, err_msg=k)
+
+
+def test_fsdp_with_tx_shards_optimizer_state():
+    mesh = create_mesh(dp=4, fsdp=2)
+    model, state, step, batch, _ = build("ret%tva")
+    from vast_tpu.training.optimizer import build_optimizer as bo
+    tx, _ = bo(state.params, RUN_CFG, MODEL_CFG, 100)
+    state = shard_state(mesh, state, fsdp=True, tx=tx)
+    # find an adam moment leaf and check it is sharded like its param
+    import optax
+    leaves = jax.tree.leaves(state.opt_state)
+    sharded = [l for l in leaves
+               if hasattr(l, "sharding") and hasattr(l, "ndim") and l.ndim >= 2
+               and not l.sharding.is_fully_replicated]
+    assert sharded, "no sharded optimizer moments found"
+    state, metrics = step(state, shard_batch(mesh, batch),
+                          jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))

@@ -53,6 +53,35 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     }
 
 
+def tp_param_sharding(mesh: Mesh, params) -> dict:
+    """Megatron-style tensor parallelism over the ``tp`` axis via param
+    shardings — GSPMD propagates activation shardings and inserts the
+    collectives.
+
+    Rule (by param path): column-parallel for QKV/up projections (shard
+    the output dim), row-parallel for attention-out / MLP-down (shard the
+    input dim). Everything else (embeddings, LN, heads) replicated.
+    """
+    size = mesh.shape["tp"]
+
+    COL = ("query", "key", "value", "qkv", "q_proj", "k_proj", "v_proj",
+           "in_proj", "intermediate", "fc1", "w1", "w2", "c_fc")
+    ROW = ("out", "out_proj", "output", "proj", "fc2", "w3", "c_proj")
+
+    def rule(path, x):
+        if size == 1 or x.ndim != 2:
+            return NamedSharding(mesh, P())
+        names = [str(getattr(p, "key", p)) for p in path]
+        owner = names[-2] if len(names) >= 2 else ""
+        if owner in COL and x.shape[1] % size == 0:
+            return NamedSharding(mesh, P(None, "tp"))
+        if owner in ROW and x.shape[0] % size == 0:
+            return NamedSharding(mesh, P("tp", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def fsdp_param_sharding(mesh: Mesh, params) -> dict:
     """Shard each parameter's largest axis over fsdp when divisible.
 

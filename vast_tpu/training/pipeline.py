@@ -175,7 +175,8 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
         tx, _ = build_optimizer(state.params, run_cfg, opts.model_cfg,
                                 num_steps)
     if mesh is not None:
-        state = shard_state(mesh, state, fsdp=run_cfg.get("fsdp", False))
+        state = shard_state(mesh, state, fsdp=run_cfg.get("fsdp", False),
+                            tp=run_cfg.get("tp", False), tx=tx)
 
     saver = ModelSaver(run_cfg.output_dir,
                        run_cfg.get("remove_before_ckpt", True))

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from vast_tpu.parallel.mesh import fsdp_param_sharding, replicated
+from vast_tpu.parallel.mesh import (
+    fsdp_param_sharding,
+    replicated,
+    tp_param_sharding,
+)
 
 
 @flax.struct.dataclass
@@ -78,16 +82,59 @@ def make_train_step(model, tx, task: str, mesh=None, fsdp: bool = False,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def shard_state(mesh, state: TrainState, fsdp: bool = False) -> TrainState:
-    """Place the train state on the mesh (replicated or fsdp-sharded)."""
-    if fsdp and mesh.shape["fsdp"] > 1:
+def shard_state(mesh, state: TrainState, fsdp: bool = False,
+                tp: bool = False, tx=None) -> TrainState:
+    """Place the train state on the mesh.
+
+    ``tp`` shards column/row-parallel kernels over the ``tp`` axis
+    (Megatron-style); ``fsdp`` shards each param's largest divisible dim
+    over ``fsdp`` (ZeRO-3-style). When ``tx`` is given, the optimizer
+    state is (re)built under jit from the sharded params, so Adam moments
+    inherit the param shardings and optimizer memory scales with the
+    shards (call shard_state BEFORE restoring a resume checkpoint so the
+    restored moments land on the sharded layout).
+    """
+    if tp and mesh.shape["tp"] > 1:
+        param_sh = tp_param_sharding(mesh, state.params)
+    elif fsdp and mesh.shape["fsdp"] > 1:
         param_sh = fsdp_param_sharding(mesh, state.params)
-        params = jax.tree.map(jax.device_put, state.params, param_sh)
-        opt_state = jax.tree.map(
-            lambda x: jax.device_put(x, replicated(mesh)), state.opt_state)
-        return TrainState(step=jax.device_put(state.step, replicated(mesh)),
-                          params=params, opt_state=opt_state)
-    return jax.device_put(state, replicated(mesh))
+    else:
+        return jax.device_put(state, replicated(mesh))
+
+    params = jax.tree.map(jax.device_put, state.params, param_sh)
+    if tx is not None:
+        opt_sh = _opt_state_shardings(state.opt_state, state.params,
+                                      param_sh, replicated(mesh))
+        opt_state = jax.jit(tx.init, out_shardings=opt_sh)(params)
+    else:
+        opt_state = jax.device_put(state.opt_state, replicated(mesh))
+    return TrainState(step=jax.device_put(state.step, replicated(mesh)),
+                      params=params, opt_state=opt_state)
+
+
+def _opt_state_shardings(opt_state, params, param_sh, rep):
+    """Sharding tree for an optimizer state: any leaf whose key path ends
+    with a parameter's path (Adam mu/nu mirror the param tree, possibly
+    masked by optax.multi_transform) gets that parameter's sharding;
+    everything else (counts, scalars) is replicated."""
+    def path_keys(path):
+        return tuple(str(getattr(p, "key", getattr(p, "name", p)))
+                     for p in path)
+
+    param_map = {}
+    for path, sh in jax.tree_util.tree_flatten_with_path(param_sh)[0]:
+        param_map[path_keys(path)] = sh
+
+    max_depth = max((len(k) for k in param_map), default=0)
+
+    def leaf_sharding(path, leaf):
+        keys = path_keys(path)
+        for cut in range(max(0, len(keys) - max_depth), len(keys)):
+            if keys[cut:] in param_map:
+                return param_map[keys[cut:]]
+        return rep
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, opt_state)
 
 
 def make_eval_step(model, task: str, mesh=None):
