@@ -41,4 +41,9 @@ def compute_caption_metrics(results: list[dict], annfile: str) -> dict:
         "ROUGE_L": rouge_l(gts, res),
         "CIDEr": cider(gts, res),
     }
+    from vast_tpu.evaluation.metrics import meteor
+    if meteor.available():
+        raw_gts = {k: gts_raw[k] for k in keys}
+        raw_res = {k: res_raw[k] for k in keys}
+        metrics["METEOR"] = meteor.meteor_score(raw_gts, raw_res)
     return {k: round(v * 100, 2) for k, v in metrics.items()}

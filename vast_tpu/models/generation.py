@@ -62,7 +62,29 @@ def generate(model, params, cond_feats, cfg: GenerationConfig,
 
     cond_feats: (B, Lc, D) fusion condition features.
     prompt_ids/prompt_mask: (B, P); default prompt is a single BOS.
+
+    The whole decode (prefill + scan) is jitted per (model, cfg, shapes);
+    repeated eval batches reuse the compiled program.
     """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if prompt_ids is None:
+        b = cond_feats.shape[0]
+        prompt_ids = jnp.full((b, 1), cfg.bos_id, jnp.int32)
+        prompt_mask = jnp.ones((b, 1), jnp.int32)
+    return _generate_jit(model, cfg, params, cond_feats, prompt_ids,
+                         prompt_mask, rng)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _generate_jit(model, cfg, params, cond_feats, prompt_ids, prompt_mask,
+                  rng):
+    return _generate_impl(model, params, cond_feats, cfg, prompt_ids,
+                          prompt_mask, rng)
+
+
+def _generate_impl(model, params, cond_feats, cfg: GenerationConfig,
+                   prompt_ids=None, prompt_mask=None, rng=None):
     b = cond_feats.shape[0]
     if prompt_ids is None:
         prompt_ids = jnp.full((b, 1), cfg.bos_id, jnp.int32)
