@@ -12,6 +12,18 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 
 def main():
+    import os
+
+    # multi-host SPMD: every host runs this same entry; initialize the
+    # distributed runtime when a coordinator is configured (replaces
+    # torch.distributed.launch + NCCL init, utils/initialize.py:14-16)
+    if os.environ.get("VAST_COORDINATOR"):
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=os.environ["VAST_COORDINATOR"],
+            num_processes=int(os.environ.get("VAST_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("VAST_PROCESS_ID", "0")))
+
     from vast_tpu.config import dump_hps, get_args
     from vast_tpu.logger import LOGGER
     from vast_tpu.training import pipeline

@@ -40,13 +40,11 @@ from vast_tpu.models.beats import BeatsConfig, BeatsModel
 from vast_tpu.models.bert import BertConfig, BertForMaskedLM, mlm_loss
 from vast_tpu.models.clip_vit import (
     CLIP_PRESETS,
-    CLIP_VISION_DIMS,
     ClipVisionTransformer,
     ClipVitConfig,
 )
 from vast_tpu.models.eva_vit import (
     EVA_PRESETS,
-    EVA_VISION_DIMS,
     EvaVisionTransformer,
     EvaVitConfig,
 )

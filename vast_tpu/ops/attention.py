@@ -12,12 +12,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vast_tpu.ops.flash_attention import (
-    NEG_INF,
-    SINGLE_BLOCK_MAX_KV,
-    flash_attention,
-    flash_attention_blhd,
-)
+from vast_tpu.ops.flash_attention import NEG_INF, flash_attention
 
 
 def _round_up(x: int, m: int) -> int:

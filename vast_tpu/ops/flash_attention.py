@@ -31,83 +31,6 @@ NEG_INF = -1e30
 SINGLE_BLOCK_MAX_KV = 4096
 
 
-def _blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, has_bias: bool):
-    """Layout-native single-block kernel: q/k/v blocks are contiguous
-    (1, bq|lk, H, D) slices of the (B, L, H, D) arrays — no HBM transpose.
-    The head axis rides as a batched-matmul dimension."""
-    # VMEM-local transposes to put the head (batch) axis first — Mosaic
-    # requires batch dims at position 0; lane dim (D) is untouched.
-    q = jnp.swapaxes(q_ref[0], 0, 1)  # (H, bq, D)
-    k = jnp.swapaxes(k_ref[0], 0, 1)  # (H, lk, D)
-    v = jnp.swapaxes(v_ref[0], 0, 1)
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (H, bq, lk)
-    if has_bias:
-        s = s + bias_ref[0].astype(jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    l = jnp.where(l == 0.0, 1.0, l)
-    o = jax.lax.dot_general(
-        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (H, bq, D)
-    o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)  # (bq, H, D)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_h", "interpret"))
-def flash_attention_blhd(q, k, v, bias=None, *, block_q: int = 128,
-                         block_h: int = 8, interpret: bool = False):
-    """Single-block flash attention over (B, L, H, D) tensors.
-
-    For Lk <= SINGLE_BLOCK_MAX_KV; q pre-scaled and padded (L multiple of
-    block, D multiple of 128). bias: (1|B, 1|H, Lq, Lk) additive. The head
-    axis is blocked (``block_h``) to bound VMEM.
-    """
-    b, lq, h, d = q.shape
-    lk = k.shape[1]
-    block_q = _pick_block(lq, block_q)
-    nq = lq // block_q
-    bh = h
-    for cand in range(min(block_h, h), 0, -1):
-        if h % cand == 0:
-            bh = cand
-            break
-    nh = h // bh
-    grid = (b, nh, nq)
-    in_specs = [
-        pl.BlockSpec((1, block_q, bh, d), lambda ib, ih, iq: (ib, iq, ih, 0)),
-        pl.BlockSpec((1, lk, bh, d), lambda ib, ih, iq: (ib, 0, ih, 0)),
-        pl.BlockSpec((1, lk, bh, d), lambda ib, ih, iq: (ib, 0, ih, 0)),
-    ]
-    has_bias = bias is not None
-    if has_bias:
-        bias = jnp.broadcast_to(bias, (bias.shape[0], h, lq, lk))
-        if bias.shape[0] == 1:
-            in_specs.append(pl.BlockSpec(
-                (1, bh, block_q, lk), lambda ib, ih, iq: (0, ih, iq, 0)))
-        else:
-            in_specs.append(pl.BlockSpec(
-                (1, bh, block_q, lk), lambda ib, ih, iq: (ib, ih, iq, 0)))
-        args = (q, k, v, bias)
-    else:
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1),
-                                     lambda ib, ih, iq: (0, 0, 0, 0)))
-        args = (q, k, v, jnp.zeros((1, 1, 1, 1), jnp.float32))
-    return pl.pallas_call(
-        functools.partial(_blhd_kernel, has_bias=has_bias),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, bh, d),
-                               lambda ib, ih, iq: (ib, iq, ih, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
-        interpret=interpret,
-    )(*args)
-
-
 def _pick_block(l: int, target: int) -> int:
     """Largest 128-multiple block <= target dividing l (l is a multiple
     of 128 by wrapper construction)."""
