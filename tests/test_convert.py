@@ -203,3 +203,116 @@ def test_rename_and_interp_surgery():
     pos8 = interp_pos_embed(pos, 8)
     assert pos8.shape == (65, 6)
     np.testing.assert_array_equal(pos8[0], pos[0])  # cls untouched
+
+
+def make_ast_vast_sd(cfg, seed=0):
+    """Synthetic VAST-with-AST state dict (load_ast_model's target layout,
+    general_module.py:257-316)."""
+    g = torch.Generator().manual_seed(seed)
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    sd = {
+        "audio_embeddings.cls_token": torch.randn(1, 1, h, generator=g),
+        "audio_embeddings.first_conv.weight":
+            torch.randn(h, 1, cfg.patch_size, cfg.patch_size, generator=g),
+        "audio_embeddings.first_conv.bias": torch.randn(h, generator=g),
+        "audio_embeddings.position_embeddings.weight":
+            torch.randn(cfg.tokens_per_clip + 1, h, generator=g),
+        "audio_encoder.last_layernorm.weight": torch.randn(h, generator=g),
+        "audio_encoder.last_layernorm.bias": torch.randn(h, generator=g),
+    }
+    for i in range(cfg.num_hidden_layers):
+        lp = f"audio_encoder.layer.{i}."
+        for j in range(4):
+            sd[f"{lp}attention.linears.{j}.weight"] = torch.randn(
+                h, h, generator=g)
+            sd[f"{lp}attention.linears.{j}.bias"] = torch.randn(h, generator=g)
+        sd[f"{lp}ff_layer.linear1.weight"] = torch.randn(inter, h, generator=g)
+        sd[f"{lp}ff_layer.linear1.bias"] = torch.randn(inter, generator=g)
+        sd[f"{lp}ff_layer.linear2.weight"] = torch.randn(h, inter, generator=g)
+        sd[f"{lp}ff_layer.linear2.bias"] = torch.randn(h, generator=g)
+        for ln in ("layernorm1", "layernorm2"):
+            sd[f"{lp}{ln}.weight"] = torch.randn(h, generator=g)
+            sd[f"{lp}{ln}.bias"] = torch.randn(h, generator=g)
+    return {k: v * 0.05 for k, v in sd.items()}
+
+
+def test_ast_conversion_structure_and_forward():
+    from vast_tpu.convert.vast_ckpt import convert_ast
+    from vast_tpu.models.ast import AstConfig, AstModel
+
+    cfg = AstConfig(hidden_size=16, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=32,
+                    audio_melbins=32, audio_target_length=32)
+    sd = {k: v.numpy() for k, v in make_ast_vast_sd(cfg).items()}
+    params = convert_ast(sd, layers=cfg.num_hidden_layers)
+    model = AstModel(cfg)
+    fb = jnp.zeros((1, cfg.audio_target_length, cfg.audio_melbins))
+    ref = model.init(jax.random.PRNGKey(0), fb)["params"]
+    ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                 jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(np.random.RandomState(1).randn(
+            2, cfg.audio_target_length, cfg.audio_melbins), jnp.float32))
+    assert out.shape == (2, 1 + cfg.tokens_per_clip, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ast_audioset_conversion_drops_distill_and_interps_pos():
+    from vast_tpu.convert.vast_ckpt import convert_ast_audioset
+    from vast_tpu.models.ast import AstConfig, AstModel
+
+    cfg = AstConfig(hidden_size=16, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=32,
+                    audio_melbins=32, audio_target_length=32)
+    g = torch.Generator().manual_seed(3)
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    p = "module.v."
+    # released audioset ckpt layout: cls + distill + 12x101 grid pos
+    sd = {
+        f"{p}cls_token": torch.randn(1, 1, h, generator=g),
+        f"{p}dist_token": torch.randn(1, 1, h, generator=g),
+        f"{p}pos_embed": torch.randn(1, 2 + 12 * 101, h, generator=g),
+        f"{p}patch_embed.proj.weight":
+            torch.randn(h, 1, cfg.patch_size, cfg.patch_size, generator=g),
+        f"{p}patch_embed.proj.bias": torch.randn(h, generator=g),
+        f"{p}norm.weight": torch.randn(h, generator=g),
+        f"{p}norm.bias": torch.randn(h, generator=g),
+    }
+    for i in range(cfg.num_hidden_layers):
+        bp = f"{p}blocks.{i}."
+        sd[f"{bp}attn.qkv.weight"] = torch.randn(3 * h, h, generator=g)
+        sd[f"{bp}attn.qkv.bias"] = torch.randn(3 * h, generator=g)
+        sd[f"{bp}attn.proj.weight"] = torch.randn(h, h, generator=g)
+        sd[f"{bp}attn.proj.bias"] = torch.randn(h, generator=g)
+        sd[f"{bp}mlp.fc1.weight"] = torch.randn(inter, h, generator=g)
+        sd[f"{bp}mlp.fc1.bias"] = torch.randn(inter, generator=g)
+        sd[f"{bp}mlp.fc2.weight"] = torch.randn(h, inter, generator=g)
+        sd[f"{bp}mlp.fc2.bias"] = torch.randn(h, generator=g)
+        for ln in ("norm1", "norm2"):
+            sd[f"{bp}{ln}.weight"] = torch.randn(h, generator=g)
+            sd[f"{bp}{ln}.bias"] = torch.randn(h, generator=g)
+    sd = {k: v * 0.05 for k, v in sd.items()}
+
+    params = convert_ast_audioset(sd, cfg.audio_melbins,
+                                  cfg.audio_target_length,
+                                  layers=cfg.num_hidden_layers)
+    # pos embedding interpolated to (2*2 grid + cls); qkv split matches
+    assert params["position_embeddings"]["embedding"].shape == (
+        cfg.tokens_per_clip + 1, h)
+    np.testing.assert_allclose(
+        params["position_embeddings"]["embedding"][0],
+        sd[f"{p}pos_embed"][0, 0].numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        params["layer_0"]["k"]["bias"],
+        sd[f"{p}blocks.0.attn.qkv.bias"][h:2 * h].numpy(), atol=1e-6)
+
+    model = AstModel(cfg)
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(np.random.RandomState(2).randn(
+            1, cfg.audio_target_length, cfg.audio_melbins), jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()

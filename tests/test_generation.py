@@ -138,3 +138,73 @@ def test_sampling_is_deterministic_given_rng():
                             rng=jax.random.PRNGKey(8)))
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def hf_beam_oracle(model, params, cond, gcfg, steps):
+    """Naive python re-implementation of HF beam search (BeamSearchScorer +
+    BeamHypotheses, early_stopping=False) over full-prefix recompute —
+    the exact algorithm the reference's ``generate`` call runs
+    (model/vast.py:540-547). Returns (B, steps) generated ids."""
+    b = cond.shape[0]
+    k, lp_pow = gcfg.num_beams, gcfg.length_penalty
+    p = 1  # BOS-only prompt
+
+    def logp_row(seq, ci):
+        ids = np.asarray([seq + [gcfg.mask_id]], np.int64)
+        t = ids.shape[1]
+        mask3 = np.tril(np.ones((1, t, t), np.int64))
+        logits = model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask3),
+            encoder_hidden_states=jnp.asarray(cond[ci:ci + 1]),
+            method=lambda m, *a, **kw: m.multimodal_encoder(*a, **kw))
+        return np.asarray(jax.nn.log_softmax(
+            logits[0, -1].astype(jnp.float32), -1))
+
+    out = np.full((b, steps), gcfg.pad_id, np.int32)
+    for ci in range(b):
+        beams = [([int(gcfg.bos_id)], 0.0)]
+        pool = []  # (penalized score, generated ids excl. eos)
+        done = False
+        for i in range(steps):
+            if done:
+                break
+            cand = []
+            for bi, (seq, s) in enumerate(beams):
+                lp = logp_row(seq, ci)
+                for v, w in enumerate(lp):
+                    cand.append((s + float(w), bi, v))
+            cand.sort(key=lambda c: -c[0])
+            top2k = cand[:2 * k]
+            cur_div = float(p + i) ** lp_pow
+            new_beams = []
+            for rank, (s, bi, v) in enumerate(top2k):
+                if v == gcfg.eos_id:
+                    if rank < k:  # worse-ranked EOS candidates are skipped
+                        pool.append((s / cur_div, beams[bi][0][1:]))
+                        pool.sort(key=lambda h: -h[0])
+                        pool = pool[:k]
+                elif len(new_beams) < k:
+                    new_beams.append((beams[bi][0] + [v], s))
+            beams = new_beams
+            if len(pool) == k:
+                best_possible = top2k[0][0] / cur_div
+                if pool[-1][0] >= best_possible:
+                    done = True
+        if not done:
+            fin_div = float(p + steps) ** lp_pow
+            for seq, s in beams:
+                pool.append((s / fin_div, seq[1:]))
+            pool.sort(key=lambda h: -h[0])
+        gen = pool[0][1]
+        out[ci, :len(gen)] = gen
+    return out
+
+
+def test_beam_matches_hf_oracle():
+    model, params, cond = setup_model()
+    for lp in (0.6, 1.0):
+        gcfg = GenerationConfig(max_new_tokens=6, num_beams=3,
+                                length_penalty=lp)
+        ours = np.asarray(generate(model, params, cond, gcfg))
+        ref = hf_beam_oracle(model, params, cond, gcfg, 6)
+        np.testing.assert_array_equal(ours, ref)

@@ -181,6 +181,98 @@ def convert_beats(sd: dict, prefix: str, layers: int) -> dict:
     return out
 
 
+def convert_ast(sd: dict, embed_prefix: str = "audio_embeddings.",
+                enc_prefix: str = "audio_encoder.",
+                layers: int = 12) -> dict:
+    """VAST-with-AST torch weights -> models.ast params.
+
+    The reference stores AST as two submodules — ``audio_embeddings``
+    (AudioEmbeddings) and ``audio_encoder`` (TransformerEncoder) with
+    q/k/v/out packed as ``attention.linears.{0..3}``
+    (model/audio_encoders/ast/ast.py:106-201); here both land under one
+    ``audio_encoder`` flax module.
+    """
+    ep, np_ = embed_prefix, enc_prefix
+    out = {
+        "first_conv": {
+            "kernel": sd[f"{ep}first_conv.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"{ep}first_conv.bias"],
+        },
+        "cls_token": sd[f"{ep}cls_token"],
+        "position_embeddings": {
+            "embedding": sd[f"{ep}position_embeddings.weight"]},
+        "last_layernorm": _ln(sd, f"{np_}last_layernorm"),
+    }
+    for i in range(layers):
+        lp = f"{np_}layer.{i}."
+        out[f"layer_{i}"] = {
+            "ln1": _ln(sd, f"{lp}layernorm1"),
+            "q": _dense(sd, f"{lp}attention.linears.0"),
+            "k": _dense(sd, f"{lp}attention.linears.1"),
+            "v": _dense(sd, f"{lp}attention.linears.2"),
+            "proj": _dense(sd, f"{lp}attention.linears.3"),
+            "ln2": _ln(sd, f"{lp}layernorm2"),
+            "fc1": _dense(sd, f"{lp}ff_layer.linear1"),
+            "fc2": _dense(sd, f"{lp}ff_layer.linear2"),
+        }
+    return out
+
+
+def convert_ast_audioset(ast_sd: dict, melbins: int = 64,
+                         target_length: int = 1024,
+                         layers: int = 12) -> dict:
+    """Raw AudioSet AST checkpoint (``module.v.*``) -> models.ast params.
+
+    Reproduces load_ast_model's remap (general_module.py:257-316): drop
+    the distill token, split the packed qkv, and bilinearly interpolate
+    the (12, 101) positional grid of the released audioset_10_10 model to
+    (melbins/16, target_length/16).
+    """
+    sd = to_numpy_state_dict(ast_sd)
+    p = "module.v."
+    pos = sd[f"{p}pos_embed"][0]
+    cls_pos, grid_pos = pos[0:1], pos[2:]  # [1:2] is the distill token
+    grid_pos = grid_pos.reshape(12, 101, -1)
+    th, tw = melbins // 16, target_length // 16
+    if (th, tw) != (12, 101):
+        import jax
+
+        grid_pos = np.asarray(jax.image.resize(
+            grid_pos, (th, tw, grid_pos.shape[-1]), method="bilinear"))
+    pos = np.concatenate([cls_pos, grid_pos.reshape(th * tw, -1)], axis=0)
+
+    out = {
+        "first_conv": {
+            "kernel": sd[f"{p}patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"{p}patch_embed.proj.bias"],
+        },
+        "cls_token": sd[f"{p}cls_token"],
+        "position_embeddings": {"embedding": pos},
+        "last_layernorm": _ln(sd, f"{p}norm"),
+    }
+    h = sd[f"{p}blocks.0.attn.qkv.weight"].shape[0] // 3
+    for i in range(layers):
+        bp = f"{p}blocks.{i}."
+        qkv_w = sd[f"{bp}attn.qkv.weight"]
+        qkv_b = sd.get(f"{bp}attn.qkv.bias")
+        layer = {
+            "ln1": _ln(sd, f"{bp}norm1"),
+            "q": {"kernel": qkv_w[:h].T},
+            "k": {"kernel": qkv_w[h:2 * h].T},
+            "v": {"kernel": qkv_w[2 * h:].T},
+            "proj": _dense(sd, f"{bp}attn.proj"),
+            "ln2": _ln(sd, f"{bp}norm2"),
+            "fc1": _dense(sd, f"{bp}mlp.fc1"),
+            "fc2": _dense(sd, f"{bp}mlp.fc2"),
+        }
+        if qkv_b is not None:
+            layer["q"]["bias"] = qkv_b[:h]
+            layer["k"]["bias"] = qkv_b[h:2 * h]
+            layer["v"]["bias"] = qkv_b[2 * h:]
+        out[f"layer_{i}"] = layer
+    return out
+
+
 # ------------------------------------------------------------------
 # full model
 # ------------------------------------------------------------------
@@ -208,7 +300,7 @@ def convert_vast_checkpoint(state_dict, cfg) -> dict:
     if cfg.audio_encoder_type.startswith("beats"):
         audio = convert_beats(sd, "audio_encoder.", ac.encoder_layers)
     else:
-        raise NotImplementedError("ast conversion")
+        audio = convert_ast(sd, layers=ac.num_hidden_layers)
 
     mm = convert_bert_mlm(sd, "multimodal_encoder.bert.",
                           "multimodal_encoder.cls.", bc.num_hidden_layers)

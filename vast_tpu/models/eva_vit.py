@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vast_tpu.ops.attention import multi_head_attention
+from vast_tpu.ops.attention import (
+    multi_head_attention,
+    multi_head_attention_hmajor,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +119,52 @@ def apply_rope(x, angles):
     return x * cos.astype(x.dtype) + rot * sin.astype(x.dtype)
 
 
+class HeadMajorQKV(nn.Module):
+    """Fused qkv projection emitting head-major (B, H, L, Dh) tensors.
+
+    Param tree is identical to ``nn.Dense(3*all_dim, use_bias=False)``
+    ({'kernel': (W, 3*all_dim)}) so checkpoint converters are unchanged;
+    the (B,L,H,D)->(B,H,L,D) transpose is fused into the projection
+    matmul's output instead of being a standalone HBM pass — worth
+    ~2 ms/layer on ViT-g (see ops/attention.py docstring).
+    """
+
+    all_dim: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = x.shape[-1]
+        hd = self.all_dim // self.heads
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (w, 3 * self.all_dim))
+        k3 = kernel.reshape(w, 3, self.heads, hd).astype(self.dtype)
+        x = x.astype(self.dtype)
+        q = jnp.einsum("blw,whd->bhld", x, k3[:, 0])
+        k = jnp.einsum("blw,whd->bhld", x, k3[:, 1])
+        v = jnp.einsum("blw,whd->bhld", x, k3[:, 2])
+        return q, k, v
+
+
+class HeadMajorOut(nn.Module):
+    """Output projection over head-major (B, H, L, Dh) -> (B, L, features);
+    param tree identical to ``nn.Dense(features)``."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, o):
+        _, h, _, hd = o.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (h * hd, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k3 = kernel.reshape(h, hd, self.features).astype(self.dtype)
+        return (jnp.einsum("bhld,hdw->blw", o.astype(self.dtype), k3)
+                + bias.astype(self.dtype))
+
+
 class EvaAttention(nn.Module):
     cfg: EvaVitConfig
 
@@ -126,44 +175,57 @@ class EvaAttention(nn.Module):
             self.q_proj = nn.Dense(all_dim, use_bias=False, dtype=c.dtype)
             self.k_proj = nn.Dense(all_dim, use_bias=False, dtype=c.dtype)
             self.v_proj = nn.Dense(all_dim, use_bias=False, dtype=c.dtype)
+            self.inner_ln = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
+            self.proj = nn.Dense(c.width, dtype=c.dtype)
         else:
-            self.qkv = nn.Dense(3 * all_dim, use_bias=False, dtype=c.dtype)
+            self.qkv = HeadMajorQKV(all_dim, c.num_heads, dtype=c.dtype)
+            self.proj = HeadMajorOut(c.width, dtype=c.dtype)
         if c.qkv_bias:
             self.q_bias = self.param("q_bias", nn.initializers.zeros, (all_dim,))
             self.v_bias = self.param("v_bias", nn.initializers.zeros, (all_dim,))
-        if c.subln:
-            self.inner_ln = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
-        self.proj = nn.Dense(c.width, dtype=c.dtype)
 
     def __call__(self, x, rope_angles=None):
         c = self.cfg
         b, l, _ = x.shape
         h, d = c.num_heads, c.head_width
         if c.subln:
+            # inner_ln mixes all heads per token, so this variant stays
+            # token-major
             q = self.q_proj(x)
             k = self.k_proj(x)
             v = self.v_proj(x)
             if c.qkv_bias:
                 q = q + self.q_bias.astype(q.dtype)
                 v = v + self.v_bias.astype(v.dtype)
-        else:
-            qkv = self.qkv(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            if c.qkv_bias:
-                q = q + self.q_bias.astype(q.dtype)
-                v = v + self.v_bias.astype(v.dtype)
-        q = q.reshape(b, l, h, d)
-        k = k.reshape(b, l, h, d)
-        v = v.reshape(b, l, h, d)
+            q = q.reshape(b, l, h, d)
+            k = k.reshape(b, l, h, d)
+            v = v.reshape(b, l, h, d)
+            if rope_angles is not None:
+                # rope applies to patch tokens only, cls token untouched
+                # (eva_vit_model.py:305-310)
+                q = jnp.concatenate(
+                    [q[:, :1], apply_rope(q[:, 1:], rope_angles)], 1)
+                k = jnp.concatenate(
+                    [k[:, :1], apply_rope(k[:, 1:], rope_angles)], 1)
+            out = multi_head_attention(q, k, v, scale=d ** -0.5)
+            out = self.inner_ln(out.reshape(b, l, h * d))
+            return self.proj(out)
+
+        # head-major fast path (EVA01 and all non-subln variants)
+        q, k, v = self.qkv(x)
+        if c.qkv_bias:
+            q = q + self.q_bias.reshape(1, h, 1, d).astype(q.dtype)
+            v = v + self.v_bias.reshape(1, h, 1, d).astype(v.dtype)
         if rope_angles is not None:
-            # rope applies to patch tokens only, cls token untouched
-            # (eva_vit_model.py:305-310)
-            q = jnp.concatenate([q[:, :1], apply_rope(q[:, 1:], rope_angles)], 1)
-            k = jnp.concatenate([k[:, :1], apply_rope(k[:, 1:], rope_angles)], 1)
-        out = multi_head_attention(q, k, v, scale=d ** -0.5)
-        out = out.reshape(b, l, h * d)
-        if c.subln:
-            out = self.inner_ln(out)
+            hq = jnp.swapaxes(q[:, :, 1:], 1, 2)
+            hk = jnp.swapaxes(k[:, :, 1:], 1, 2)
+            q = jnp.concatenate(
+                [q[:, :, :1], jnp.swapaxes(apply_rope(hq, rope_angles), 1, 2)],
+                axis=2)
+            k = jnp.concatenate(
+                [k[:, :, :1], jnp.swapaxes(apply_rope(hk, rope_angles), 1, 2)],
+                axis=2)
+        out = multi_head_attention_hmajor(q, k, v, scale=d ** -0.5)
         return self.proj(out)
 
 

@@ -153,6 +153,20 @@ def _greedy_or_sample(bert, cache, cross_kv, cache_mask, last_tok, p, cfg,
 
 
 def _beam_search(bert, cache, cross_kv, cache_mask, last_tok, p, cfg, b):
+    """HF-semantics beam search (what the reference's ``generate`` runs —
+    transformers BeamSearchScorer, early_stopping=False):
+
+    * per step the top ``2k`` of the k*vocab candidates are ranked; EOS
+      candidates with rank < k move to a finished-hypothesis pool (score
+      ``sum_logprobs / cur_len**length_penalty`` with cur_len = prompt +
+      generated, the HF convention) and do NOT occupy live slots — the k
+      live beams are the k best non-EOS candidates;
+    * the pool keeps the best k finished hypotheses (replace-worst);
+    * a batch is done when its pool is full and the worst pooled score
+      beats the best still-possible candidate score; its state freezes;
+    * finalize: for batches never done, live beams join the pool at full
+      length; the best pooled hypothesis wins.
+    """
     k = cfg.num_beams
 
     def tile(x):
@@ -162,15 +176,19 @@ def _beam_search(bert, cache, cross_kv, cache_mask, last_tok, p, cfg, b):
     cross_kv = jax.tree.map(tile, cross_kv)
     cache_mask = tile(cache_mask)
 
+    t_max = cfg.max_new_tokens
     scores = jnp.tile(jnp.asarray([[0.0] + [NEG_INF] * (k - 1)],
                                   jnp.float32), (b, 1))
-    tokens = jnp.full((b, k, cfg.max_new_tokens), cfg.pad_id, jnp.int32)
-    finished = jnp.zeros((b, k), bool)
+    tokens = jnp.full((b, k, t_max), cfg.pad_id, jnp.int32)
     prev_tok = jnp.repeat(last_tok[:, None], k, axis=1)
-    lengths = jnp.zeros((b, k), jnp.int32)
+    pool_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+    pool_tokens = jnp.full((b, k, t_max), cfg.pad_id, jnp.int32)
+    pool_count = jnp.zeros((b,), jnp.int32)
+    done = jnp.zeros((b,), bool)
 
     def step(carry, i):
-        cache, prev_tok, scores, tokens, finished, lengths = carry
+        (cache, prev_tok, scores, tokens,
+         pool_scores, pool_tokens, pool_count, done) = carry
         tok2 = jnp.stack(
             [prev_tok.reshape(-1),
              jnp.full((b * k,), cfg.mask_id, jnp.int32)], axis=1)
@@ -178,33 +196,64 @@ def _beam_search(bert, cache, cross_kv, cache_mask, last_tok, p, cfg, b):
                                    cross_kv)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         vocab = logp.shape[-1]
-        logp = logp.reshape(b, k, vocab)
-        # finished beams extend only with pad, at zero cost
-        pad_only = jnp.full((vocab,), NEG_INF).at[cfg.pad_id].set(0.0)
-        logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
+        cand = (scores[:, :, None] + logp.reshape(b, k, vocab)
+                ).reshape(b, k * vocab)
+        s2k, idx2k = jax.lax.top_k(cand, 2 * k)          # sorted desc
+        beam2k = idx2k // vocab
+        tok2k = (idx2k % vocab).astype(jnp.int32)
+        is_eos = tok2k == cfg.eos_id
 
-        cand = (scores[:, :, None] + logp).reshape(b, k * vocab)
-        top_scores, top_idx = jax.lax.top_k(cand, k)
-        beam_idx = top_idx // vocab
-        tok_idx = (top_idx % vocab).astype(jnp.int32)
+        # --- pool update: EOS candidates ranked < k, length-penalized at
+        # cur_len = p + i (BeamHypotheses.add; hyp excludes the EOS token)
+        cur_len = jnp.asarray(p + i, jnp.float32)
+        add_score = s2k / cur_len ** cfg.length_penalty
+        eligible = is_eos & (jnp.arange(2 * k)[None, :] < k) & ~done[:, None]
+        add_score = jnp.where(eligible, add_score, NEG_INF)
+        cand_toks = jnp.take_along_axis(tokens, beam2k[:, :, None], axis=1)
+        merged_scores = jnp.concatenate([pool_scores, add_score], axis=1)
+        merged_tokens = jnp.concatenate([pool_tokens, cand_toks], axis=1)
+        top_pool, pool_idx = jax.lax.top_k(merged_scores, k)
+        pool_scores = top_pool
+        pool_tokens = jnp.take_along_axis(
+            merged_tokens, pool_idx[:, :, None], axis=1)
+        pool_count = jnp.minimum(
+            pool_count + jnp.sum(eligible, axis=1, dtype=jnp.int32), k)
 
-        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
-        tokens = tokens.at[:, :, i].set(tok_idx)
-        finished = jnp.take_along_axis(finished, beam_idx, axis=1)
-        lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
-        lengths = jnp.where(finished, lengths, lengths + 1)
-        finished = finished | (tok_idx == cfg.eos_id)
-        scores = top_scores
+        # --- live beams: the k best non-EOS candidates
+        live = jnp.where(is_eos, NEG_INF, s2k)
+        new_scores, sel = jax.lax.top_k(live, k)
+        beam_idx = jnp.take_along_axis(beam2k, sel, axis=1)
+        tok_idx = jnp.take_along_axis(tok2k, sel, axis=1)
+        new_tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        new_tokens = new_tokens.at[:, :, i].set(tok_idx)
 
-        flat_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
+        # --- freeze done batches (HF: done batches pad and skip the pool)
+        scores = jnp.where(done[:, None], scores, new_scores)
+        tokens = jnp.where(done[:, None, None], tokens, new_tokens)
+        prev_tok = jnp.where(done[:, None], prev_tok, tok_idx)
+        keep = jnp.where(done[:, None], jnp.arange(k)[None, :], beam_idx)
+        flat_idx = (jnp.arange(b)[:, None] * k + keep).reshape(-1)
         cache = jax.tree.map(lambda x: x[flat_idx], cache)
-        return (cache, tok_idx, scores, tokens, finished, lengths), None
 
-    init = (cache, prev_tok, scores, tokens, finished, lengths)
-    (cache, prev_tok, scores, tokens, finished, lengths), _ = jax.lax.scan(
-        step, init, jnp.arange(cfg.max_new_tokens))
+        # --- done rule (BeamHypotheses.is_done, early_stopping=False)
+        best_possible = s2k[:, 0] / cur_len ** cfg.length_penalty
+        done = done | ((pool_count >= k)
+                       & (pool_scores[:, -1] >= best_possible))
+        return (cache, prev_tok, scores, tokens,
+                pool_scores, pool_tokens, pool_count, done), None
 
-    # HF-style length penalty at finalization
-    lp = jnp.maximum(lengths, 1).astype(jnp.float32) ** cfg.length_penalty
-    best = jnp.argmax(scores / lp, axis=1)
-    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+    init = (cache, prev_tok, scores, tokens,
+            pool_scores, pool_tokens, pool_count, done)
+    (cache, prev_tok, scores, tokens,
+     pool_scores, pool_tokens, pool_count, done), _ = jax.lax.scan(
+        step, init, jnp.arange(t_max))
+
+    # finalize (BeamSearchScorer.finalize): never-done batches add their
+    # live beams at full length; best pooled hypothesis wins
+    final_len = jnp.asarray(p + t_max, jnp.float32)
+    live_final = jnp.where(done[:, None], NEG_INF,
+                           scores / final_len ** cfg.length_penalty)
+    all_scores = jnp.concatenate([pool_scores, live_final], axis=1)
+    all_tokens = jnp.concatenate([pool_tokens, tokens], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]

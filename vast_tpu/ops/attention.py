@@ -1,8 +1,17 @@
 """Attention front end: pads to TPU tiles and dispatches Pallas vs XLA.
 
 Every encoder (EVA ViT, CLIP ViT, BEATs, AST, BERT self + cross) funnels
-through :func:`multi_head_attention`, so the Pallas flash kernel and the
-XLA reference path are interchangeable per backend/shape.
+through :func:`multi_head_attention` (token-major ``(B, L, H, D)``) or
+:func:`multi_head_attention_hmajor` (head-major ``(B, H, L, D)``), so the
+Pallas flash kernel and the XLA reference path are interchangeable per
+backend/shape.
+
+The head-major entry exists because the ``(B, L, H, D) <-> (B, H, L, D)``
+HBM transposes around the kernel cost more than the kernel itself at
+encoder shapes (~2.7 ms/layer on ViT-g vs 1.3 ms of attention math).
+Callers that produce q/k/v head-major straight out of the projection
+matmul (``einsum('blw,whd->bhld')`` — XLA fuses the transpose into the
+dot output) skip that traffic entirely; see models/eva_vit.py.
 """
 
 from __future__ import annotations
@@ -17,6 +26,16 @@ from vast_tpu.ops.flash_attention import NEG_INF, flash_attention
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# single-q-block limit: below this the query length only needs sublane
+# (16) alignment; longer sequences tile the q axis in 128-multiples
+_SINGLE_Q_BLOCK = 512
+
+
+def _pad_len_q(lq: int) -> int:
+    lq16 = _round_up(lq, 16)
+    return lq16 if lq16 <= _SINGLE_Q_BLOCK else _round_up(lq, 128)
 
 
 def reference_attention(q, k, v, bias=None):
@@ -62,27 +81,14 @@ def _use_pallas_shapes(b, lq, lk, h, d) -> bool:
     if lq * lk < 128 * 128:
         # tiny problems: XLA fusion wins over kernel launch overhead
         return False
-    # when tile padding inflates the kernel's compute too much (short
-    # queries like the 40-token fusion cross-attention), XLA wins
-    waste = (_round_up(lq, 128) / lq) * (_round_up(lk, 128) / lk) \
+    # when tile padding inflates the kernel's compute too much (very short
+    # queries/keys or tiny head dims), XLA wins
+    waste = (_pad_len_q(lq) / lq) * (_round_up(lk, 128) / lk) \
         * (_round_up(d, 128) / d)
     return waste <= 2.5
 
 
-def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,
-                         impl: str = "auto", interpret: bool = False):
-    """Scaled dot-product attention over (B, L, H, D) tensors.
-
-    bias: additive float, broadcastable to (B, H, Lq, Lk) — e.g. BEATs'
-    gated relative position bias.
-    mask: boolean, True = attend, broadcastable to (B, 1|H, Lq, Lk) —
-    padding / causal / part-causal masks.
-    """
-    b, lq, h, d = q.shape
-    lk = k.shape[1]
-    if scale is None:
-        scale = d ** -0.5
-
+def _prepare_bias(bias, mask):
     add_bias = None
     if bias is not None:
         add_bias = bias.astype(jnp.float32)
@@ -91,20 +97,35 @@ def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,
         while mb.ndim < 4:
             mb = mb[:, None]
         add_bias = mb if add_bias is None else add_bias + mb
+    return add_bias
+
+
+def multi_head_attention_hmajor(q, k, v, *, bias=None, mask=None, scale=None,
+                                impl: str = "auto", interpret: bool = False):
+    """Scaled dot-product attention over head-major (B, H, L, D) tensors.
+
+    Returns (B, H, Lq, D) in q.dtype. bias: additive float, broadcastable
+    to (B, H, Lq, Lk). mask: boolean, True = attend, broadcastable to
+    (B, 1|H, Lq, Lk).
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    add_bias = _prepare_bias(bias, mask)
 
     use_pallas = impl == "pallas" or (
         impl == "auto" and _use_pallas_shapes(b, lq, lk, h, d))
     if not use_pallas:
-        qh = jnp.swapaxes(q, 1, 2) * jnp.asarray(scale, q.dtype)
-        out = reference_attention(qh, jnp.swapaxes(k, 1, 2),
-                                  jnp.swapaxes(v, 1, 2), add_bias)
-        return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+        out = reference_attention(q * jnp.asarray(scale, q.dtype), k, v,
+                                  add_bias)
+        return out.astype(q.dtype)
 
-    # pad to hardware tiles: D -> 128 lanes, L -> block multiples
+    # pad to hardware tiles: D -> 128 lanes, Lk -> 128 lanes (it is the
+    # lane axis of the score tile), Lq -> sublane granularity
     dp = _round_up(d, 128)
-    lqp = _round_up(lq, 128)
+    lqp = _pad_len_q(lq)
     lkp = _round_up(lk, 128)
-    qs = q * jnp.asarray(scale, q.dtype)
 
     if add_bias is None and lk != lkp:
         add_bias = jnp.zeros((1, 1, lq, lk), jnp.float32)
@@ -117,12 +138,23 @@ def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,
             constant_values=NEG_INF,
         )
 
-    qh = jnp.swapaxes(qs, 1, 2)
-    kh = jnp.swapaxes(k, 1, 2)
-    vh = jnp.swapaxes(v, 1, 2)
+    qs = q * jnp.asarray(scale, q.dtype)
     pad_q = [(0, 0), (0, 0), (0, lqp - lq), (0, dp - d)]
     pad_k = [(0, 0), (0, 0), (0, lkp - lk), (0, dp - d)]
-    out = _flash_fwd(jnp.pad(qh, pad_q), jnp.pad(kh, pad_k),
-                     jnp.pad(vh, pad_k), add_bias, interpret)
-    out = out[:, :, :lq, :d]
-    return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+    out = _flash_fwd(jnp.pad(qs, pad_q), jnp.pad(k, pad_k),
+                     jnp.pad(v, pad_k), add_bias, interpret)
+    return out[:, :, :lq, :d].astype(q.dtype)
+
+
+def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,
+                         impl: str = "auto", interpret: bool = False):
+    """Scaled dot-product attention over token-major (B, L, H, D) tensors.
+
+    Transposes to head-major around :func:`multi_head_attention_hmajor`;
+    prefer the head-major entry in hot paths where the projections can
+    emit (B, H, L, D) directly.
+    """
+    out = multi_head_attention_hmajor(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        bias=bias, mask=mask, scale=scale, impl=impl, interpret=interpret)
+    return jnp.swapaxes(out, 1, 2)
