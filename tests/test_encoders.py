@@ -153,3 +153,26 @@ def test_ast_forward_shapes():
     # tokens = 1 + (16/8)*(64/8) = 17
     assert out.shape == (2, 17, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eva_bf16_tanh_gelu_matches_exact_within_bf16_noise():
+    """The bf16 auto-switch to tanh-approx GELU must stay within bf16
+    rounding of the exact-erf path (it is a pure perf knob)."""
+    import dataclasses
+
+    from tests.helpers import TINY_EVA
+    from vast_tpu.models.eva_vit import EvaVisionTransformer
+
+    cfg16 = dataclasses.replace(TINY_EVA, dtype=jnp.bfloat16,
+                                gelu_approx=True)
+    assert cfg16.use_gelu_tanh and not TINY_EVA.use_gelu_tanh
+    cfg16_exact = dataclasses.replace(cfg16, gelu_approx=False)
+    rs = np.random.RandomState(0)
+    px = jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32)
+    params = EvaVisionTransformer(cfg16_exact).init(
+        jax.random.PRNGKey(0), px)["params"]
+    a = EvaVisionTransformer(cfg16).apply({"params": params}, px)
+    b = EvaVisionTransformer(cfg16_exact).apply({"params": params}, px)
+    diff = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+    scale = np.abs(np.asarray(b, np.float32)).max()
+    assert diff.max() <= 0.03 * max(scale, 1.0), (diff.max(), scale)
