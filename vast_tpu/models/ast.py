@@ -15,7 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vast_tpu.ops.attention import multi_head_attention
+from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
+from vast_tpu.ops.attention import multi_head_attention_hmajor
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,14 +45,14 @@ class AstLayer(nn.Module):
     def __call__(self, x):
         c = self.cfg
         h = c.num_attention_heads
-        d = c.hidden_size // h
         y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln1")(x)
-        b, l, _ = y.shape
-        q = nn.Dense(c.hidden_size, dtype=c.dtype, name="q")(y).reshape(b, l, h, d)
-        k = nn.Dense(c.hidden_size, dtype=c.dtype, name="k")(y).reshape(b, l, h, d)
-        v = nn.Dense(c.hidden_size, dtype=c.dtype, name="v")(y).reshape(b, l, h, d)
-        a = multi_head_attention(q, k, v).reshape(b, l, c.hidden_size)
-        x = x + nn.Dense(c.hidden_size, dtype=c.dtype, name="proj")(a)
+        # head-major projections (transpose fused into the matmuls;
+        # nn.Dense-compatible params — models/hmajor.py)
+        q = HeadMajorDense(c.hidden_size, h, dtype=c.dtype, name="q")(y)
+        k = HeadMajorDense(c.hidden_size, h, dtype=c.dtype, name="k")(y)
+        v = HeadMajorDense(c.hidden_size, h, dtype=c.dtype, name="v")(y)
+        a = multi_head_attention_hmajor(q, k, v)
+        x = x + HeadMajorOut(c.hidden_size, dtype=c.dtype, name="proj")(a)
         y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln2")(x)
         y = nn.Dense(c.intermediate_size, dtype=c.dtype, name="fc1")(y)
         y = jax.nn.gelu(y, approximate=False)

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vast_tpu.ops.attention import multi_head_attention
+from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
+from vast_tpu.ops.attention import multi_head_attention_hmajor
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,10 +86,13 @@ class BeatsAttention(nn.Module):
     def setup(self):
         c = self.cfg
         e = c.encoder_embed_dim
-        self.q_proj = nn.Dense(e, dtype=c.dtype)
-        self.k_proj = nn.Dense(e, dtype=c.dtype)
-        self.v_proj = nn.Dense(e, dtype=c.dtype)
-        self.out_proj = nn.Dense(e, dtype=c.dtype)
+        h = c.encoder_attention_heads
+        # head-major projections: transpose fused into the matmuls, param
+        # trees identical to nn.Dense (models/hmajor.py)
+        self.q_proj = HeadMajorDense(e, h, dtype=c.dtype)
+        self.k_proj = HeadMajorDense(e, h, dtype=c.dtype)
+        self.v_proj = HeadMajorDense(e, h, dtype=c.dtype)
+        self.out_proj = HeadMajorOut(e, dtype=c.dtype)
         if self.has_relative_attention_bias:
             self.relative_attention_bias = nn.Embed(c.num_buckets,
                                                     c.encoder_attention_heads)
@@ -116,25 +120,23 @@ class BeatsAttention(nn.Module):
         if self.has_relative_attention_bias and position_bias is None:
             position_bias = self.compute_bias(l)  # (H, L, L)
 
-        q = self.q_proj(x).reshape(b, l, h, d)
-        k = self.k_proj(x).reshape(b, l, h, d)
-        v = self.v_proj(x).reshape(b, l, h, d)
+        q = self.q_proj(x)  # (B, H, L, D) head-major
+        k = self.k_proj(x)
+        v = self.v_proj(x)
 
         bias = None
         if position_bias is not None:
             bias = position_bias[None]  # (1, H, L, L)
             if c.gru_rel_pos:
                 # gate from the (unscaled) query: beats.py:905-915
-                qg = jnp.swapaxes(q, 1, 2)  # (B, H, L, D)
-                g = self.grep_linear(qg).reshape(b, h, l, 2, 4).sum(-1)
+                g = self.grep_linear(q).reshape(b, h, l, 2, 4).sum(-1)
                 gate_a, gate_b = jnp.split(nn.sigmoid(g), 2, axis=-1)
                 gate = gate_a * (gate_b * self.grep_a - 1.0) + 2.0  # (B,H,L,1)
                 bias = gate * bias
 
         # the alpha trick (q*scale/alpha, (s-max)*alpha) is numerics-neutral
         # under softmax given the gate uses the raw q; fold to plain scaling.
-        out = multi_head_attention(q, k, v, bias=bias, scale=scaling)
-        out = out.reshape(b, l, e)
+        out = multi_head_attention_hmajor(q, k, v, bias=bias, scale=scaling)
         return self.out_proj(out), position_bias
 
 

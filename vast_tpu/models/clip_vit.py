@@ -16,7 +16,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vast_tpu.ops.attention import multi_head_attention
+from vast_tpu.models.hmajor import HeadMajorOut, HeadMajorQKV
+from vast_tpu.ops.attention import multi_head_attention_hmajor
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,15 +60,13 @@ class ClipBlock(nn.Module):
     def __call__(self, x):
         c = self.cfg
         h = c.heads
-        d = c.width // h
         y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln_1")(x)
-        qkv = nn.Dense(3 * c.width, dtype=c.dtype, name="in_proj")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, l, _ = y.shape
-        out = multi_head_attention(
-            q.reshape(b, l, h, d), k.reshape(b, l, h, d), v.reshape(b, l, h, d))
-        out = nn.Dense(c.width, dtype=c.dtype, name="out_proj")(
-            out.reshape(b, l, c.width))
+        # head-major projections (transpose fused into the matmuls;
+        # nn.Dense-compatible params — models/hmajor.py)
+        q, k, v = HeadMajorQKV(c.width, h, use_bias=True, dtype=c.dtype,
+                               name="in_proj")(y)
+        out = multi_head_attention_hmajor(q, k, v)
+        out = HeadMajorOut(c.width, dtype=c.dtype, name="out_proj")(out)
         x = x + out
         y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln_2")(x)
         y = nn.Dense(4 * c.width, dtype=c.dtype, name="c_fc")(y)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vast_tpu.models.hmajor import HeadMajorOut, HeadMajorQKV
 from vast_tpu.ops.attention import (
     multi_head_attention,
     multi_head_attention_hmajor,
@@ -127,52 +128,6 @@ def apply_rope(x, angles):
     x2 = x.reshape(*x.shape[:-1], -1, 2)
     rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
     return x * cos.astype(x.dtype) + rot * sin.astype(x.dtype)
-
-
-class HeadMajorQKV(nn.Module):
-    """Fused qkv projection emitting head-major (B, H, L, Dh) tensors.
-
-    Param tree is identical to ``nn.Dense(3*all_dim, use_bias=False)``
-    ({'kernel': (W, 3*all_dim)}) so checkpoint converters are unchanged;
-    the (B,L,H,D)->(B,H,L,D) transpose is fused into the projection
-    matmul's output instead of being a standalone HBM pass — worth
-    ~2 ms/layer on ViT-g (see ops/attention.py docstring).
-    """
-
-    all_dim: int
-    heads: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        w = x.shape[-1]
-        hd = self.all_dim // self.heads
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (w, 3 * self.all_dim))
-        k3 = kernel.reshape(w, 3, self.heads, hd).astype(self.dtype)
-        x = x.astype(self.dtype)
-        q = jnp.einsum("blw,whd->bhld", x, k3[:, 0])
-        k = jnp.einsum("blw,whd->bhld", x, k3[:, 1])
-        v = jnp.einsum("blw,whd->bhld", x, k3[:, 2])
-        return q, k, v
-
-
-class HeadMajorOut(nn.Module):
-    """Output projection over head-major (B, H, L, Dh) -> (B, L, features);
-    param tree identical to ``nn.Dense(features)``."""
-
-    features: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, o):
-        _, h, _, hd = o.shape
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (h * hd, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        k3 = kernel.reshape(h, hd, self.features).astype(self.dtype)
-        return (jnp.einsum("bhld,hdw->blw", o.astype(self.dtype), k3)
-                + bias.astype(self.dtype))
 
 
 class EvaAttention(nn.Module):
