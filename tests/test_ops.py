@@ -189,3 +189,66 @@ def test_flash_attention_gradients_match_xla():
     for a, b_ in zip(g_pallas, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_flash_attention_bwd_learned_bias_grad():
+    """Learned additive biases (BEATs gated rel-pos, Swin tables) need a
+    real dbias: ds reduced over the bias's broadcast axes."""
+    b, l, h, d = 2, 64, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (b, l, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, l, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, l, h, d), jnp.float32)
+    # per-head bias shared across batch, like a rel-pos table
+    bias = jax.random.normal(ks[3], (1, h, l, l), jnp.float32)
+
+    def loss(impl):
+        def f(q, k, v, bias):
+            out = multi_head_attention(q, k, v, bias=bias, impl=impl,
+                                       interpret=True)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    g_pallas = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_xla = jax.grad(loss("xla"), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_flash_attention_bwd_no_bias_multiblock():
+    """Multi-tile backward (several q and kv blocks) without bias."""
+    from vast_tpu.ops.flash_attention import flash_attention_bwd
+
+    b, h, lq, lk, d = 1, 2, 256, 384, 128
+    ks = jax.random.split(jax.random.PRNGKey(8), 4)
+    q = jax.random.normal(ks[0], (b, h, lq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, lk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, lk, d), jnp.float32)
+    g = jax.random.normal(ks[3], (b, h, lq, d), jnp.float32)
+
+    out, lse = flash_attention(q, k, v, return_lse=True, interpret=True)
+    dq, dk, dv = flash_attention_bwd(q, k, v, None, out, lse, g,
+                                     block_q=128, block_k=128,
+                                     interpret=True)
+    _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v), q, k, v)
+    rq, rk, rv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_flash_attention_fwd_lse_matches_reference():
+    b, h, l, d = 1, 2, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.float32)
+    out, lse = flash_attention(q, k, v, return_lse=True, interpret=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    ref_lse = jax.nn.logsumexp(s, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=2e-5, rtol=2e-5)

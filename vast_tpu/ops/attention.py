@@ -21,7 +21,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vast_tpu.ops.flash_attention import NEG_INF, flash_attention
+from vast_tpu.ops.flash_attention import (
+    NEG_INF,
+    flash_attention,
+    flash_attention_bwd,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -47,29 +51,43 @@ def reference_attention(q, k, v, bias=None):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
-# Pallas kernels are not auto-differentiable: the flash forward gets a
-# custom VJP whose backward recomputes attention through the XLA reference
-# (memory profile of the backward then matches a standard training step;
-# a dedicated backward kernel is a further optimization).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_fwd(qh, kh, vh, add_bias, interpret):
+# Pallas kernels are not auto-differentiable: the flash forward carries a
+# custom VJP whose backward is the tiled Pallas kernel pair in
+# ops/flash_attention.py (dk/dv then dq, recomputing p from the saved
+# logsumexp) — the (B, H, Lq, Lk) probability tensor never touches HBM in
+# either direction.
+#
+# ``bias_grad`` (static) selects whether the bias cotangent is real:
+# learned additive biases (BEATs gated rel-pos, Swin rel-pos tables) need
+# ds reduced over their broadcast axes; boolean masks (BERT padding /
+# causal) are non-differentiable, so their cotangent is symbolic zeros and
+# ds is never materialized.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_fwd(qh, kh, vh, add_bias, bias_grad, interpret):
     return flash_attention(qh, kh, vh, add_bias, interpret=interpret)
 
 
-def _flash_fwd_fwd(qh, kh, vh, add_bias, interpret):
-    out = flash_attention(qh, kh, vh, add_bias, interpret=interpret)
-    return out, (qh, kh, vh, add_bias)
+def _flash_fwd_fwd(qh, kh, vh, add_bias, bias_grad, interpret):
+    out, lse = flash_attention(qh, kh, vh, add_bias, interpret=interpret,
+                               return_lse=True)
+    return out, (qh, kh, vh, add_bias, out, lse)
 
 
-def _flash_fwd_bwd(interpret, residuals, g):
-    qh, kh, vh, add_bias = residuals
-    if add_bias is None:
-        _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v),
-                         qh, kh, vh)
-        dq, dk, dv = vjp(g)
-        return dq, dk, dv, None
-    _, vjp = jax.vjp(reference_attention, qh, kh, vh, add_bias)
-    return vjp(g)
+def _flash_fwd_bwd(bias_grad, interpret, residuals, g):
+    qh, kh, vh, add_bias, out, lse = residuals
+    g = g.astype(qh.dtype)
+    if bias_grad and add_bias is not None:
+        dq, dk, dv, ds = flash_attention_bwd(
+            qh, kh, vh, add_bias, out, lse, g, interpret=interpret,
+            return_dbias=True)
+        reduce_axes = tuple(
+            i for i in (0, 1) if add_bias.shape[i] == 1 and ds.shape[i] != 1)
+        dbias = ds.sum(axis=reduce_axes, keepdims=True) if reduce_axes else ds
+        return dq, dk, dv, dbias.astype(add_bias.dtype)
+    dq, dk, dv = flash_attention_bwd(qh, kh, vh, add_bias, out, lse, g,
+                                     interpret=interpret)
+    dbias = None if add_bias is None else jnp.zeros_like(add_bias)
+    return dq, dk, dv, dbias
 
 
 _flash_fwd.defvjp(_flash_fwd_fwd, _flash_fwd_bwd)
@@ -142,7 +160,8 @@ def multi_head_attention_hmajor(q, k, v, *, bias=None, mask=None, scale=None,
     pad_q = [(0, 0), (0, 0), (0, lqp - lq), (0, dp - d)]
     pad_k = [(0, 0), (0, 0), (0, lkp - lk), (0, dp - d)]
     out = _flash_fwd(jnp.pad(qs, pad_q), jnp.pad(k, pad_k),
-                     jnp.pad(v, pad_k), add_bias, interpret)
+                     jnp.pad(v, pad_k), add_bias, bias is not None,
+                     interpret)
     return out[:, :, :lq, :d].astype(q.dtype)
 
 

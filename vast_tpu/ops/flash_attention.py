@@ -42,9 +42,15 @@ def _pick_block(l: int, target: int) -> int:
     return 128
 
 
-def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, has_bias: bool):
+def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                   has_bias: bool, bias4: bool = False):
     """Whole-KV softmax for a (G, bq, d) query block; G batched (B*H)
-    problems per grid step amortize per-step pipeline overhead."""
+    problems per grid step amortize per-step pipeline overhead.
+
+    ``bias4`` selects a per-problem bias block (1, G, bq, lk) instead of a
+    shared (1, bq, lk) one. ``lse_ref`` may be None (inference) or a
+    (G, bq, 1) fp32 block receiving logsumexp rows for the backward.
+    """
     q = q_ref[...]  # (G, bq, d)
     k = k_ref[...]  # (G, lk, d)
     v = v_ref[...]
@@ -52,7 +58,7 @@ def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, has_bias: bool):
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (G, bq, lk)
     if has_bias:
-        s = s + bias_ref[...].astype(jnp.float32)
+        s = s + (bias_ref[0] if bias4 else bias_ref[...]).astype(jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -61,29 +67,18 @@ def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, has_bias: bool):
         (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[...] = m + jnp.log(l)
 
 
-def _single_kernel_bias4(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    """Variant with a per-problem bias block (1, G, bq, lk)."""
-    q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    s = s + bias_ref[0].astype(jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    l = jnp.where(l == 0.0, 1.0, l)
-    o = jax.lax.dot_general(
-        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    o_ref[...] = o.astype(o_ref.dtype)
+def _single_kernel_nolse(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                         has_bias: bool, bias4: bool = False):
+    _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None,
+                   has_bias=has_bias, bias4=bias4)
 
 
-def _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr,
-                   acc_scr, *, nk: int, has_bias: bool):
+def _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr,
+                   l_scr, acc_scr, *, nk: int, has_bias: bool):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -117,16 +112,36 @@ def _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr,
         l = l_scr[:]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = m_scr[:] + jnp.log(l)
+
+
+def _looped_kernel_nolse(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr,
+                         acc_scr, *, nk: int, has_bias: bool):
+    _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None, m_scr, l_scr,
+                   acc_scr, nk=nk, has_bias=has_bias)
+
+
+def _flatten_bias(bias, b, h, lq, lk):
+    """(Bb, Hb, Lq, Lk) -> (BH, Lq, Lk) or (1, Lq, Lk)."""
+    bb, hb = bias.shape[0], bias.shape[1]
+    if bb == 1 and hb == 1:
+        return bias.reshape(1, lq, lk)
+    return jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_k", "interpret"))
+                   static_argnames=("block_q", "block_k", "interpret",
+                                    "return_lse"))
 def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
-                    block_k: int = 1024, interpret: bool = False):
+                    block_k: int = 1024, interpret: bool = False,
+                    return_lse: bool = False):
     """Tiled attention; q/k/v already scaled and tile-padded.
 
     q: (B, H, Lq, D); k, v: (B, H, Lk, D); bias: (Bb, Hb, Lq, Lk) with
-    Bb in {1, B}, Hb in {1, H}; returns (B, H, Lq, D) in q.dtype.
+    Bb in {1, B}, Hb in {1, H}; returns (B, H, Lq, D) in q.dtype, plus the
+    per-row logsumexp (B, H, Lq, 1) fp32 when ``return_lse`` (residual for
+    :func:`flash_attention_bwd`).
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -137,12 +152,7 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
 
     has_bias = bias is not None
     if has_bias:
-        bb, hb = bias.shape[0], bias.shape[1]
-        bias_bh = 1 if (bb == 1 and hb == 1) else bh
-        if bias_bh == bh:
-            bias = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(bh, lq, lk)
-        else:
-            bias = bias.reshape(1, lq, lk)
+        bias = _flatten_bias(bias, b, h, lq, lk)
 
     block_q = _pick_block(lq, block_q)
     nq = lq // block_q
@@ -168,33 +178,43 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
             pl.BlockSpec((g, lk, d), lambda ibh, iq: (ibh, 0, 0)),
             pl.BlockSpec((g, lk, d), lambda ibh, iq: (ibh, 0, 0)),
         ]
+        base = _single_kernel if return_lse else _single_kernel_nolse
         if bias_per_bh:
             in_specs.append(pl.BlockSpec(
                 (1, g, block_q, lk), lambda ibh, iq: (ibh, 0, iq, 0)))
             args = (qf, kf, vf, bias)
-            kernel = _single_kernel_bias4
+            kernel = functools.partial(base, has_bias=True, bias4=True)
         elif has_bias:
             # shared bias broadcasts over the G problems in a step
             in_specs.append(pl.BlockSpec(
                 (1, block_q, lk), lambda ibh, iq: (0, iq, 0)))
             args = (qf, kf, vf, bias)
-            kernel = functools.partial(_single_kernel, has_bias=True)
+            kernel = functools.partial(base, has_bias=True)
         else:
             in_specs.append(pl.BlockSpec(
                 (1, 1, 1), lambda ibh, iq: (0, 0, 0)))
             args = (qf, kf, vf, jnp.zeros((1, 1, 1), jnp.float32))
-            kernel = functools.partial(_single_kernel, has_bias=False)
+            kernel = functools.partial(base, has_bias=False)
+        out_specs = pl.BlockSpec((g, block_q, d), lambda ibh, iq: (ibh, iq, 0))
+        out_shape = jax.ShapeDtypeStruct((bh, lq, d), q.dtype)
+        if return_lse:
+            out_specs = [out_specs, pl.BlockSpec(
+                (g, block_q, 1), lambda ibh, iq: (ibh, iq, 0))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32)]
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((g, block_q, d),
-                                   lambda ibh, iq: (ibh, iq, 0)),
-            out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")),
             interpret=interpret,
         )(*args)
+        if return_lse:
+            o, lse = out
+            return o.reshape(b, h, lq, d), lse.reshape(b, h, lq, 1)
         return out.reshape(b, h, lq, d)
 
     block_k = _pick_block(lk, block_k)
@@ -217,13 +237,20 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
         in_specs.append(pl.BlockSpec(
             (1, 1, 1), lambda ibh, iq, ik: (0, 0, 0)))
         args = (qf, kf, vf, jnp.zeros((1, 1, 1), jnp.float32))
+    base = _looped_kernel if return_lse else _looped_kernel_nolse
+    out_specs = pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, lq, d), q.dtype)
+    if return_lse:
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, block_q, 1), lambda ibh, iq, ik: (ibh, iq, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32)]
     out = pl.pallas_call(
-        functools.partial(_looped_kernel, nk=nk, has_bias=has_bias),
+        functools.partial(base, nk=nk, has_bias=has_bias),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda ibh, iq, ik: (ibh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -233,4 +260,334 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(*args)
+    if return_lse:
+        o, lse = out
+        return o.reshape(b, h, lq, d), lse.reshape(b, h, lq, 1)
     return out.reshape(b, h, lq, d)
+
+
+# ---------------------------------------------------------------------------
+# Backward: tiled dq/dk/dv with in-kernel recompute from the forward's
+# logsumexp rows — the (B, H, Lq, Lk) probability tensor is never
+# materialized in HBM (the round-1 XLA-reference VJP did, costing the
+# training path exactly the memory the forward kernel saved). Replaces the
+# backward of xformers memory_efficient_attention
+# (reference eva_vit_model.py:330).
+#
+# Two passes (FlashAttention-2 schedule):
+#   * dk/dv: grid (BH, nk, nq), q-blocks innermost; each kv tile
+#     accumulates ds^T q and p^T do across all q tiles in VMEM scratch;
+#   * dq:    grid (BH, nq, nk), kv-blocks innermost; optionally also emits
+#     the full ds = p * (dO V^T - delta) when the caller needs a bias
+#     gradient (learned relative-position biases: BEATs / Swin).
+#
+# delta = rowsum(dO * O) is a cheap XLA elementwise reduce done outside.
+# Fully-masked *padding* query rows are safe (their dO is zero after the
+# wrapper's slice); fully-masked real rows have undefined gradients, as in
+# every flash-attention implementation.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                      bias_ref, dq_ref, dk_ref, dv_ref, ds_ref, *,
+                      has_bias: bool, bias4: bool = False):
+    """Single-pass backward for problems whose whole (Lq, Lk) score tile
+    fits VMEM (every VAST encoder: EVA 272/384, BEATs 512, BERT <=80): s
+    is recomputed ONCE and dq/dk/dv all come off it — 5 MXU ops instead of
+    the two-pass schedule's 7. Blocks are (G, ., .), G batched problems
+    per grid step as in the forward."""
+    q = q_ref[...]          # (G, lq, d)
+    do = do_ref[...]
+    lse = lse_ref[...]      # (G, lq, 1)
+    delta = delta_ref[...]
+    k = k_ref[...]          # (G, lk, d)
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)   # (G, lq, lk)
+    if has_bias:
+        s = s + (bias_ref[0] if bias4 else bias_ref[...]).astype(jnp.float32)
+    p = jnp.exp(s - lse)
+    dv = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)   # (G, lk, d)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)   # (G, lq, lk)
+    ds = p * (dp - delta)
+    if ds_ref is not None:
+        ds_ref[...] = ds.astype(ds_ref.dtype)
+    dsc = ds.astype(q.dtype)
+    dk_ref[...] = jax.lax.dot_general(
+        dsc, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dq_ref[...] = jax.lax.dot_general(
+        dsc, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel_nods(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                           bias_ref, dq_ref, dk_ref, dv_ref, *,
+                           has_bias: bool, bias4: bool = False):
+    _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                      bias_ref, dq_ref, dk_ref, dv_ref, None,
+                      has_bias=has_bias, bias4=bias4)
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                    bias_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, nq: int,
+                    has_bias: bool):
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]          # (bq, d)
+    do = do_ref[0]        # (bq, d)
+    lse = lse_ref[0]      # (bq, 1) fp32
+    delta = delta_ref[0]  # (bq, 1) fp32
+    k = k_ref[0]          # (bk, d)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse)  # (bq, bk)
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, bias_ref,
+                   dq_ref, ds_ref, dq_acc, *, nk: int, has_bias: bool):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    if ds_ref is not None:
+        ds_ref[0] = ds.astype(ds_ref.dtype)
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dq_kernel_nods(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                        bias_ref, dq_ref, dq_acc, *, nk: int, has_bias: bool):
+    _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, bias_ref,
+                   dq_ref, None, dq_acc, nk=nk, has_bias=has_bias)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret",
+                                    "return_dbias"))
+def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
+                        block_k: int = 512, interpret: bool = False,
+                        return_dbias: bool = False):
+    """Gradients of :func:`flash_attention` w.r.t. q, k, v (and the raw
+    per-(b,h) ds when ``return_dbias`` — the caller reduces it over the
+    bias's broadcast axes).
+
+    q/k/v/o/do: (B, H, L, D) tile-padded as in the forward; lse:
+    (B, H, Lq, 1) fp32 from ``return_lse``; bias: (Bb, Hb, Lq, Lk) or None.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bh = b * h
+    qf = q.reshape(bh, lq, d)
+    kf = k.reshape(bh, lk, d)
+    vf = v.reshape(bh, lk, d)
+    dof = do.reshape(bh, lq, d)
+    lsef = lse.reshape(bh, lq, 1)
+    delta = jnp.sum(dof.astype(jnp.float32) * o.reshape(bh, lq, d)
+                    .astype(jnp.float32), axis=-1, keepdims=True)
+
+    has_bias = bias is not None
+    if has_bias:
+        biasf = _flatten_bias(bias, b, h, lq, lk)
+    else:
+        biasf = jnp.zeros((1, 1, 1), jnp.float32)
+
+    # fused single-pass backward when the whole problem fits VMEM
+    per_g = (4 * lq * lk * 4                       # s, p, dp, ds fp32
+             + 4 * lq * d * q.dtype.itemsize       # q, do, dq, +slack
+             + 4 * lk * d * q.dtype.itemsize)      # k, v, dk, dv
+    if lq <= 512 and lk <= SINGLE_BLOCK_MAX_KV and per_g <= 13 * 2 ** 20:
+        g = 1
+        for cand in (8, 4, 2):
+            if bh % cand == 0 and cand * per_g <= 13 * 2 ** 20:
+                g = cand
+                break
+        bias_per_bh = has_bias and biasf.shape[0] == bh
+        bias_arg = biasf
+        if bias_per_bh:
+            bias_arg = biasf.reshape(bh // g, g, lq, lk)
+        in_specs = [
+            pl.BlockSpec((g, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, lq, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, lq, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0)),
+        ]
+        if bias_per_bh:
+            in_specs.append(pl.BlockSpec((1, g, lq, lk),
+                                         lambda i: (i, 0, 0, 0)))
+        elif has_bias:
+            in_specs.append(pl.BlockSpec((1, lq, lk), lambda i: (0, 0, 0)))
+        else:
+            in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)))
+        base = _bwd_fused_kernel if return_dbias else _bwd_fused_kernel_nods
+        kernel = functools.partial(base, has_bias=has_bias,
+                                   bias4=bias_per_bh)
+        out_specs = [
+            pl.BlockSpec((g, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk, d), v.dtype),
+        ]
+        if return_dbias:
+            out_specs.append(pl.BlockSpec((g, lq, lk), lambda i: (i, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((bh, lq, lk), jnp.float32))
+        out = pl.pallas_call(
+            kernel,
+            grid=(bh // g,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(qf, dof, lsef, delta, kf, vf, bias_arg)
+        if return_dbias:
+            dq, dk, dv, ds = out
+            return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
+                    dv.reshape(b, h, lk, d), ds.reshape(b, h, lq, lk))
+        dq, dk, dv = out
+        return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
+                dv.reshape(b, h, lk, d))
+
+    block_q = _pick_block(lq, block_q)
+    block_k = _pick_block(lk, block_k)
+    nq = lq // block_q
+    nk = lk // block_k
+
+    def bias_spec(index_map):
+        if not has_bias:
+            return pl.BlockSpec((1, 1, 1), lambda *a: (0, 0, 0))
+        if biasf.shape[0] == 1:
+            return pl.BlockSpec((1, block_q, block_k),
+                                lambda *a: (0,) + index_map(*a)[1:])
+        return pl.BlockSpec((1, block_q, block_k), index_map)
+
+    # pass 1: dk, dv — kv tiles resident, q tiles stream (innermost)
+    dkv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda ibh, ik, iq: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_q, d), lambda ibh, ik, iq: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda ibh, ik, iq: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda ibh, ik, iq: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda ibh, ik, iq: (ibh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda ibh, ik, iq: (ibh, ik, 0)),
+        bias_spec(lambda ibh, ik, iq: (ibh, iq, ik)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, nq=nq, has_bias=has_bias),
+        grid=(bh, nk, nq),
+        in_specs=dkv_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda ibh, ik, iq: (ibh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ibh, ik, iq: (ibh, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, dof, lsef, delta, kf, vf, biasf)
+
+    # pass 2: dq (+ optional full ds) — q tiles resident, kv tiles stream
+    dq_specs = [
+        pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda ibh, iq, ik: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda ibh, iq, ik: (ibh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+        bias_spec(lambda ibh, iq, ik: (ibh, iq, ik)),
+    ]
+    dq_out_spec = pl.BlockSpec((1, block_q, d),
+                               lambda ibh, iq, ik: (ibh, iq, 0))
+    dq_out_shape = jax.ShapeDtypeStruct((bh, lq, d), q.dtype)
+    if return_dbias:
+        out = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, nk=nk, has_bias=has_bias),
+            grid=(bh, nq, nk),
+            in_specs=dq_specs,
+            out_specs=[dq_out_spec, pl.BlockSpec(
+                (1, block_q, block_k), lambda ibh, iq, ik: (ibh, iq, ik))],
+            out_shape=[dq_out_shape,
+                       jax.ShapeDtypeStruct((bh, lq, lk), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(qf, dof, lsef, delta, kf, vf, biasf)
+        dq, ds = out
+        return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
+                dv.reshape(b, h, lk, d), ds.reshape(b, h, lq, lk))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_nods, nk=nk, has_bias=has_bias),
+        grid=(bh, nq, nk),
+        in_specs=dq_specs,
+        out_specs=dq_out_spec,
+        out_shape=dq_out_shape,
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, dof, lsef, delta, kf, vf, biasf)
+    return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
+            dv.reshape(b, h, lk, d))
