@@ -1,8 +1,11 @@
 """ctypes binding for the native host data runtime (libvast_runtime.so).
 
-Builds on first import (make, ~1 s) and caches the .so; falls back
+Builds on first import (make, ~2 s) and caches the .so; falls back
 cleanly when the toolchain or libjpeg is unavailable — callers check
-``available()`` and use the PIL/wave paths otherwise.
+``available()`` and use the PIL/wave paths otherwise. The media surface
+(video + compressed audio via FFmpeg libs) is gated separately behind
+``media_available()``: images without libav dev packages still get the
+JPEG/WAV fast paths.
 """
 
 from __future__ import annotations
@@ -15,6 +18,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libvast_runtime.so")
+_SOURCES = ("vast_runtime.cpp", "vast_media.cpp", "vast_media_stub.cpp",
+            "common.h", "Makefile")
 _lib = None
 _tried = False
 
@@ -24,10 +29,10 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) or (
-        os.path.getmtime(_LIB_PATH)
-        < os.path.getmtime(os.path.join(_DIR, "vast_runtime.cpp"))
-    ):
+    src_mtime = max(os.path.getmtime(os.path.join(_DIR, s))
+                    for s in _SOURCES if os.path.exists(os.path.join(_DIR, s)))
+    if (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < src_mtime):
         try:
             subprocess.run(["make", "-C", _DIR], check=True,
                            capture_output=True)
@@ -38,24 +43,49 @@ def _load():
     except OSError:
         return None
     lib.vrt_version.restype = ctypes.c_int
-    if lib.vrt_version() != 1:
+    if lib.vrt_version() != 2:
         return None
+    c_paths = ctypes.POINTER(ctypes.c_char_p)
+    c_int_p = ctypes.POINTER(ctypes.c_int)
     lib.vrt_decode_image_batch.restype = ctypes.c_int
     lib.vrt_decode_image_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
-        ctypes.c_int]
+        c_paths, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), c_int_p, ctypes.c_int]
     lib.vrt_load_wav_batch.restype = ctypes.c_int
     lib.vrt_load_wav_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
-        ctypes.c_int]
+        c_paths, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), c_int_p, ctypes.c_int]
+    lib.vrt_media_available.restype = ctypes.c_int
+    lib.vrt_video_info_batch.restype = ctypes.c_int
+    lib.vrt_video_info_batch.argtypes = [
+        c_paths, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    lib.vrt_decode_video_batch.restype = ctypes.c_int
+    lib.vrt_decode_video_batch.argtypes = [
+        c_paths, ctypes.c_int, c_int_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), c_int_p, ctypes.c_int]
+    lib.vrt_load_audio_batch.restype = ctypes.c_int
+    lib.vrt_load_audio_batch.argtypes = [
+        c_paths, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), c_int_p, ctypes.c_int]
+    lib.vrt_encode_video.restype = ctypes.c_int
+    lib.vrt_encode_video.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double]
+    lib.vrt_encode_audio_tone.restype = ctypes.c_int
+    lib.vrt_encode_audio_tone.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_double]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def media_available() -> bool:
+    lib = _load()
+    return lib is not None and bool(lib.vrt_media_available())
 
 
 def _paths_array(paths: list[str]):
@@ -90,3 +120,73 @@ def load_wav_batch(paths: list[str], num_samples: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
     return out, valid
+
+
+def video_info_batch(paths: list[str], n_threads: int = 8):
+    """Video files -> (num_frames int64, fps float64); -1 frames = bad."""
+    lib = _load()
+    n = len(paths)
+    frames = np.zeros(n, np.int64)
+    fps = np.zeros(n, np.float64)
+    lib.vrt_video_info_batch(
+        _paths_array(paths), n,
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        fps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_threads)
+    return frames, fps
+
+
+def decode_video_batch(paths: list[str], indices: np.ndarray, target: int,
+                       n_threads: int = 8):
+    """Fetch frames ``indices[i]`` (shape (n, k)) of each video.
+
+    Returns ((n, k, target, target, 3) uint8, ok flags) — the native
+    equivalent of decord's VideoReader.get_batch (vision_mapper.py:139-149).
+    """
+    lib = _load()
+    n = len(paths)
+    indices = np.ascontiguousarray(indices, np.int32)
+    assert indices.shape[0] == n
+    k = indices.shape[1]
+    out = np.zeros((n, k, target, target, 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    lib.vrt_decode_video_batch(
+        _paths_array(paths), n,
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k, target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+    return out, ok.astype(bool)
+
+
+def load_audio_batch(paths: list[str], num_samples: int,
+                     n_threads: int = 8):
+    """Any audio container (mp3/mkv/mp4/wav/...) -> 16 kHz mono float32
+    at int16 scale, shape (n, num_samples), + valid flags."""
+    lib = _load()
+    n = len(paths)
+    out = np.zeros((n, num_samples), np.float32)
+    valid = np.zeros(n, np.int32)
+    lib.vrt_load_audio_batch(
+        _paths_array(paths), n, num_samples,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+    return out, valid
+
+
+def encode_video(path: str, w: int = 64, h: int = 64, n_frames: int = 48,
+                 fps: float = 24.0) -> bool:
+    """Deterministic fixture video: frame i has luma 21 + (i % 100) * 2."""
+    lib = _load()
+    return bool(lib.vrt_encode_video(path.encode(), w, h, n_frames, fps))
+
+
+def encode_audio_tone(path: str, sample_rate: int = 16000,
+                      n_samples: int = 16000, freq: float = 440.0) -> bool:
+    """Deterministic fixture audio: 0.5-amplitude sine at ``freq`` Hz."""
+    lib = _load()
+    return bool(lib.vrt_encode_audio_tone(path.encode(), sample_rate,
+                                          n_samples, freq))
+
+
+def frame_luma(i: int) -> int:
+    """Luma level the fixture encoder writes for frame i (test helper)."""
+    return 21 + (i % 100) * 2

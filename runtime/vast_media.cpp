@@ -1,0 +1,550 @@
+// VAST-TPU host media runtime: video + compressed-audio decode via FFmpeg
+// libraries (libavformat/libavcodec/libswscale/libswresample).
+//
+// Replaces the reference's decord dependency (data/vision_mapper.py:139-149,
+// data/IndexSrc.py:106 — decord is itself an FFmpeg wrapper) and its
+// torchaudio mp3/mkv decode (data/audio_mapper.py:30-48) with a first-party
+// native decode pool. The Python layer samples frame indices (even-segment
+// split, utils/tool.py:12) from vrt_video_info_batch counts, then fetches
+// exactly those frames via vrt_decode_video_batch — same contract as
+// decord.VideoReader(path).get_batch(indices).
+//
+// Also exposes deterministic test-media encoders (vrt_encode_video /
+// vrt_encode_audio_tone) so decode correctness is testable in images with
+// no ffmpeg CLI and no fixture downloads: frames encode their own index as
+// a constant luma level, tones their frequency.
+//
+// Exposed C ABI (see runtime/__init__.py):
+//   vrt_media_available    : 1 when built with libav
+//   vrt_video_info_batch   : per-file (num_frames, fps)
+//   vrt_decode_video_batch : selected frame indices -> uint8 RGB squares
+//   vrt_load_audio_batch   : any container/codec -> 16 kHz mono float32
+//   vrt_encode_video       : deterministic mp4/avi/webm fixture writer
+//   vrt_encode_audio_tone  : deterministic mp3/wav tone writer
+
+#include "common.h"
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <utility>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct LogSilencer {
+  LogSilencer() { av_log_set_level(AV_LOG_FATAL); }
+};
+LogSilencer g_log_silencer;
+
+// ---------------------------------------------------------------------
+// demux/decode context
+// ---------------------------------------------------------------------
+
+struct Media {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  AVStream* st = nullptr;
+  int si = -1;
+
+  ~Media() {
+    if (dec) avcodec_free_context(&dec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  bool open(const char* path, AVMediaType type) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return false;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return false;
+    si = av_find_best_stream(fmt, type, -1, -1, nullptr, 0);
+    if (si < 0) return false;
+    st = fmt->streams[si];
+    const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!codec) return false;
+    dec = avcodec_alloc_context3(codec);
+    if (!dec || avcodec_parameters_to_context(dec, st->codecpar) < 0)
+      return false;
+    dec->thread_count = 1;  // batch items are the parallelism axis
+    return avcodec_open2(dec, codec, nullptr) >= 0;
+  }
+
+  // Decode the next frame of stream si into *frame. Returns false at EOF
+  // or on error.
+  bool next_frame(AVFrame* frame, AVPacket* pkt) {
+    for (;;) {
+      int ret = avcodec_receive_frame(dec, frame);
+      if (ret == 0) return true;
+      if (ret != AVERROR(EAGAIN) && ret != AVERROR_EOF) return false;
+      if (ret == AVERROR_EOF) return false;
+      // need more input
+      for (;;) {
+        ret = av_read_frame(fmt, pkt);
+        if (ret < 0) {  // EOF: flush decoder
+          avcodec_send_packet(dec, nullptr);
+          break;
+        }
+        if (pkt->stream_index == si) {
+          ret = avcodec_send_packet(dec, pkt);
+          av_packet_unref(pkt);
+          if (ret < 0 && ret != AVERROR(EAGAIN)) return false;
+          break;
+        }
+        av_packet_unref(pkt);
+      }
+    }
+  }
+
+  double fps() const {
+    AVRational r = av_guess_frame_rate(fmt, st, nullptr);
+    if (r.num > 0 && r.den > 0) return av_q2d(r);
+    if (st->avg_frame_rate.num > 0) return av_q2d(st->avg_frame_rate);
+    return 25.0;
+  }
+
+  // Frame index of a decoded frame from its timestamp, or -1 if unknown.
+  int64_t frame_index(const AVFrame* frame, double fps_val) const {
+    int64_t ts = frame->best_effort_timestamp;
+    if (ts == AV_NOPTS_VALUE) return -1;
+    int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+    double sec = (ts - start) * av_q2d(st->time_base);
+    return llround(sec * fps_val);
+  }
+};
+
+int64_t count_video_frames(const char* path) {
+  Media m;
+  if (!m.open(path, AVMEDIA_TYPE_VIDEO)) return -1;
+  if (m.st->nb_frames > 0) return m.st->nb_frames;
+  // metadata-free containers (webm): one demux pass, no decode
+  AVPacket* pkt = av_packet_alloc();
+  int64_t n = 0;
+  while (av_read_frame(m.fmt, pkt) >= 0) {
+    if (pkt->stream_index == m.si) ++n;
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  return n;
+}
+
+// ---------------------------------------------------------------------
+// video frame fetch
+// ---------------------------------------------------------------------
+
+// Convert + short-side-resize + center-crop one decoded frame into a
+// (target, target, 3) RGB square. swscale SWS_AREA is the antialiased
+// single-pass path (matches the spirit of the image path's triangle
+// filter; the exact-resolution resize/crop for the model happens on
+// device either way — ops/image.py).
+bool frame_to_square(const AVFrame* frame, int target, uint8_t* out) {
+  const int h = frame->height, w = frame->width;
+  if (h <= 0 || w <= 0) return false;
+  const double scale = static_cast<double>(target) / std::min(h, w);
+  const int nh = std::max(target, (int)std::lround(h * scale));
+  const int nw = std::max(target, (int)std::lround(w * scale));
+  SwsContext* sws = sws_getContext(
+      w, h, static_cast<AVPixelFormat>(frame->format), nw, nh,
+      AV_PIX_FMT_RGB24, SWS_AREA, nullptr, nullptr, nullptr);
+  if (!sws) return false;
+  std::vector<uint8_t> rgb(static_cast<size_t>(nw) * nh * 3);
+  uint8_t* dst[1] = {rgb.data()};
+  int dst_stride[1] = {nw * 3};
+  sws_scale(sws, frame->data, frame->linesize, 0, h, dst, dst_stride);
+  sws_freeContext(sws);
+  const int top = (nh - target) / 2, left = (nw - target) / 2;
+  for (int y = 0; y < target; ++y)
+    std::memcpy(out + static_cast<size_t>(y) * target * 3,
+                rgb.data() + (static_cast<size_t>(y + top) * nw + left) * 3,
+                static_cast<size_t>(target) * 3);
+  return true;
+}
+
+// Fetch the frames at `idx[0..k)` (any order, duplicates fine) from one
+// video. Sequential decode with keyframe seeks for large forward gaps.
+bool fetch_video_frames(const char* path, const int* idx, int k, int target,
+                        uint8_t* out) {
+  Media m;
+  if (!m.open(path, AVMEDIA_TYPE_VIDEO)) return false;
+  const double fps_val = m.fps();
+
+  std::vector<std::pair<int, int>> order(k);  // (frame index, out slot)
+  for (int i = 0; i < k; ++i) order[i] = {idx[i], i};
+  std::sort(order.begin(), order.end());
+
+  const size_t stride = static_cast<size_t>(target) * target * 3;
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  int64_t cur = -1;      // index of the frame currently in `frame`
+  bool have_frame = false;
+  bool can_seek = true;  // disabled after a timestamp-less frame
+  bool ok = true;
+
+  for (int j = 0; j < k && ok; ++j) {
+    const int want = order[j].first;
+    uint8_t* slot = out + stride * order[j].second;
+    if (have_frame && want == cur) {  // duplicate index
+      if (j > 0 && order[j - 1].first == want)
+        std::memcpy(slot, out + stride * order[j - 1].second, stride);
+      else
+        ok = frame_to_square(frame, target, slot);
+      continue;
+    }
+    // long forward gap: keyframe-seek instead of decoding through it
+    if (can_seek && want > cur + 256) {
+      const double sec = want / fps_val;
+      int64_t start =
+          m.st->start_time == AV_NOPTS_VALUE ? 0 : m.st->start_time;
+      int64_t ts = start + llround(sec / av_q2d(m.st->time_base));
+      if (av_seek_frame(m.fmt, m.si, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
+        avcodec_flush_buffers(m.dec);
+        if (m.next_frame(frame, pkt)) {
+          have_frame = true;
+          int64_t landed = m.frame_index(frame, fps_val);
+          if (landed < 0 || landed > want) {
+            // timestamps unusable or overshot: restart sequentially
+            can_seek = false;
+            av_seek_frame(m.fmt, m.si, INT64_MIN, AVSEEK_FLAG_BACKWARD);
+            avcodec_flush_buffers(m.dec);
+            cur = -1;
+            have_frame = false;
+          } else {
+            cur = landed;
+          }
+        }
+      }
+    }
+    while (cur < want) {
+      if (!m.next_frame(frame, pkt)) break;  // EOF: clamp to last frame
+      ++cur;
+      have_frame = true;
+    }
+    if (!have_frame) {
+      ok = false;
+      break;
+    }
+    ok = frame_to_square(frame, target, slot);
+  }
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  return ok;
+}
+
+// ---------------------------------------------------------------------
+// audio decode (any container/codec) -> mono float @ target_sr
+// ---------------------------------------------------------------------
+
+bool decode_audio_any(const char* path, int target_sr,
+                      std::vector<float>* out) {
+  Media m;
+  if (!m.open(path, AVMEDIA_TYPE_AUDIO)) return false;
+  if (m.dec->ch_layout.nb_channels <= 0)
+    av_channel_layout_default(&m.dec->ch_layout, 1);
+
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  SwrContext* swr = nullptr;
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, target_sr,
+                          &m.dec->ch_layout, m.dec->sample_fmt,
+                          m.dec->sample_rate, 0, nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    if (swr) swr_free(&swr);
+    return false;
+  }
+
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  std::vector<float> chunk;
+  bool any = false;
+  while (m.next_frame(frame, pkt)) {
+    const int max_out =
+        swr_get_out_samples(swr, frame->nb_samples);
+    chunk.resize(std::max(max_out, 1));
+    uint8_t* dst[1] = {reinterpret_cast<uint8_t*>(chunk.data())};
+    const int got = swr_convert(swr, dst, max_out,
+                                const_cast<const uint8_t**>(frame->data),
+                                frame->nb_samples);
+    if (got > 0) {
+      out->insert(out->end(), chunk.data(), chunk.data() + got);
+      any = true;
+    }
+    av_frame_unref(frame);
+  }
+  // drain the resampler
+  for (;;) {
+    const int max_out = swr_get_out_samples(swr, 0);
+    if (max_out <= 0) break;
+    chunk.resize(max_out);
+    uint8_t* dst[1] = {reinterpret_cast<uint8_t*>(chunk.data())};
+    const int got = swr_convert(swr, dst, max_out, nullptr, 0);
+    if (got <= 0) break;
+    out->insert(out->end(), chunk.data(), chunk.data() + got);
+  }
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  swr_free(&swr);
+  return any;
+}
+
+// ---------------------------------------------------------------------
+// deterministic fixture encoders
+// ---------------------------------------------------------------------
+
+struct Encoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* enc = nullptr;
+  AVStream* st = nullptr;
+  bool io_open = false;
+
+  ~Encoder() {
+    if (enc) avcodec_free_context(&enc);
+    if (fmt) {
+      if (io_open) avio_closep(&fmt->pb);
+      avformat_free_context(fmt);
+    }
+  }
+
+  bool open_output(const char* path, const AVCodec* codec) {
+    if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
+      return false;
+    st = avformat_new_stream(fmt, nullptr);
+    enc = avcodec_alloc_context3(codec);
+    return st && enc;
+  }
+
+  bool start(const char* path) {
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(enc, nullptr, nullptr) < 0) return false;
+    if (avcodec_parameters_from_context(st->codecpar, enc) < 0) return false;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+      if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return false;
+      io_open = true;
+    }
+    return avformat_write_header(fmt, nullptr) >= 0;
+  }
+
+  bool write(AVFrame* frame, AVPacket* pkt) {
+    if (avcodec_send_frame(enc, frame) < 0) return false;
+    for (;;) {
+      const int ret = avcodec_receive_packet(enc, pkt);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
+      if (ret < 0) return false;
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      if (av_interleaved_write_frame(fmt, pkt) < 0) return false;
+    }
+  }
+
+  bool finish(AVPacket* pkt) {
+    return write(nullptr, pkt) && av_write_trailer(fmt) >= 0;
+  }
+};
+
+// Luma level that encodes frame index i (survives lossy compression as
+// large flat areas): Y in [21, 221], period 100.
+inline int frame_luma(int i) { return 21 + (i % 100) * 2; }
+
+bool encode_video_file(const char* path, int w, int h, int n, double fps) {
+  AVCodecID cid = AV_CODEC_ID_MPEG4;
+  const std::string p(path);
+  if (p.size() > 5 && p.substr(p.size() - 5) == ".webm")
+    cid = AV_CODEC_ID_VP8;
+  const AVCodec* codec = avcodec_find_encoder(cid);
+  if (!codec) return false;
+  Encoder e;
+  if (!e.open_output(path, codec)) return false;
+  e.enc->width = w;
+  e.enc->height = h;
+  e.enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  e.enc->time_base = av_inv_q(av_d2q(fps, 100000));
+  e.st->time_base = e.enc->time_base;
+  e.enc->gop_size = 12;
+  e.enc->bit_rate = 1000000;
+  if (!e.start(path)) return false;
+
+  AVFrame* frame = av_frame_alloc();
+  frame->format = AV_PIX_FMT_YUV420P;
+  frame->width = w;
+  frame->height = h;
+  if (av_frame_get_buffer(frame, 0) < 0) {
+    av_frame_free(&frame);
+    return false;
+  }
+  AVPacket* pkt = av_packet_alloc();
+  bool ok = true;
+  for (int i = 0; i < n && ok; ++i) {
+    av_frame_make_writable(frame);
+    const int y = frame_luma(i);
+    for (int r = 0; r < h; ++r)
+      std::memset(frame->data[0] + r * frame->linesize[0], y, w);
+    for (int r = 0; r < h / 2; ++r) {
+      std::memset(frame->data[1] + r * frame->linesize[1], 128, w / 2);
+      std::memset(frame->data[2] + r * frame->linesize[2], 128, w / 2);
+    }
+    frame->pts = i;
+    ok = e.write(frame, pkt);
+  }
+  ok = ok && e.finish(pkt);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  return ok;
+}
+
+bool encode_audio_tone(const char* path, int sr, int64_t n_samples,
+                       double freq) {
+  const std::string p(path);
+  const AVCodec* codec = nullptr;
+  if (p.size() > 4 && p.substr(p.size() - 4) == ".mp3") {
+    codec = avcodec_find_encoder_by_name("libmp3lame");
+    if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_MP3);
+  } else {
+    codec = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+  }
+  if (!codec) return false;
+  Encoder e;
+  if (!e.open_output(path, codec)) return false;
+  e.enc->sample_rate = sr;
+  av_channel_layout_default(&e.enc->ch_layout, 1);
+  e.enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
+                                         : AV_SAMPLE_FMT_S16;
+  e.enc->time_base = {1, sr};
+  e.st->time_base = e.enc->time_base;
+  e.enc->bit_rate = 64000;
+  if (!e.start(path)) return false;
+
+  const int frame_size = e.enc->frame_size > 0 ? e.enc->frame_size : 1024;
+  AVFrame* frame = av_frame_alloc();
+  frame->format = e.enc->sample_fmt;
+  av_channel_layout_copy(&frame->ch_layout, &e.enc->ch_layout);
+  frame->sample_rate = sr;
+  frame->nb_samples = frame_size;
+  if (av_frame_get_buffer(frame, 0) < 0) {
+    av_frame_free(&frame);
+    return false;
+  }
+  AVPacket* pkt = av_packet_alloc();
+  bool ok = true;
+  int64_t pos = 0;
+  while (pos < n_samples && ok) {
+    av_frame_make_writable(frame);
+    const int chunk =
+        static_cast<int>(std::min<int64_t>(frame_size, n_samples - pos));
+    frame->nb_samples = chunk;
+    for (int i = 0; i < chunk; ++i) {
+      const double v = 0.5 * std::sin(2.0 * M_PI * freq * (pos + i) / sr);
+      switch (e.enc->sample_fmt) {
+        case AV_SAMPLE_FMT_FLTP:
+          reinterpret_cast<float*>(frame->data[0])[i] =
+              static_cast<float>(v);
+          break;
+        case AV_SAMPLE_FMT_S32P:
+          reinterpret_cast<int32_t*>(frame->data[0])[i] =
+              static_cast<int32_t>(v * 2147483647.0);
+          break;
+        case AV_SAMPLE_FMT_S16P:
+        case AV_SAMPLE_FMT_S16:
+          reinterpret_cast<int16_t*>(frame->data[0])[i] =
+              static_cast<int16_t>(v * 32767.0);
+          break;
+        default:
+          ok = false;
+      }
+    }
+    frame->pts = pos;
+    pos += chunk;
+    ok = ok && e.write(frame, pkt);
+  }
+  ok = ok && e.finish(pkt);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+int vrt_media_available() { return 1; }
+
+// paths: n files. num_frames[i] = frame count (-1 on failure),
+// fps[i] = frames/sec. Returns count of readable files.
+int vrt_video_info_batch(const char** paths, int n, int64_t* num_frames,
+                         double* fps, int n_threads) {
+  std::atomic<int> n_ok(0);
+  vrt::parallel_for(n, n_threads, [&](int i) {
+    Media m;
+    if (m.open(paths[i], AVMEDIA_TYPE_VIDEO)) {
+      fps[i] = m.fps();
+      num_frames[i] = count_video_frames(paths[i]);
+    } else {
+      fps[i] = 0.0;
+      num_frames[i] = -1;
+    }
+    if (num_frames[i] > 0) n_ok.fetch_add(1);
+  });
+  return n_ok.load();
+}
+
+// indices: (n, k) row-major frame indices per file.
+// out: (n, k, target, target, 3) uint8. ok[i]=1 on success.
+int vrt_decode_video_batch(const char** paths, int n, const int* indices,
+                           int k, int target, uint8_t* out, int* ok,
+                           int n_threads) {
+  const size_t stride = static_cast<size_t>(k) * target * target * 3;
+  std::atomic<int> n_ok(0);
+  vrt::parallel_for(n, n_threads, [&](int i) {
+    const bool good = fetch_video_frames(paths[i], indices + (size_t)i * k,
+                                         k, target, out + stride * i);
+    if (!good) std::memset(out + stride * i, 0, stride);
+    if (ok) ok[i] = good ? 1 : 0;
+    if (good) n_ok.fetch_add(1);
+  });
+  return n_ok.load();
+}
+
+// Any audio container/codec -> (n, num_samples) float32 at int16 scale
+// (x * 2^15) @ 16 kHz, truncated/zero-padded. valid[i]=0 on failure.
+int vrt_load_audio_batch(const char** paths, int n, int num_samples,
+                         float* out, int* valid, int n_threads) {
+  std::atomic<int> n_ok(0);
+  vrt::parallel_for(n, n_threads, [&](int i) {
+    float* dst = out + static_cast<size_t>(num_samples) * i;
+    std::vector<float> wav;
+    if (decode_audio_any(paths[i], 16000, &wav) && !wav.empty()) {
+      const size_t m = std::min<size_t>(wav.size(), num_samples);
+      for (size_t j = 0; j < m; ++j) dst[j] = wav[j] * 32768.0f;
+      if (m < static_cast<size_t>(num_samples))
+        std::memset(dst + m, 0, sizeof(float) * (num_samples - m));
+      if (valid) valid[i] = 1;
+      n_ok.fetch_add(1);
+    } else {
+      std::memset(dst, 0, sizeof(float) * num_samples);
+      if (valid) valid[i] = 0;
+    }
+  });
+  return n_ok.load();
+}
+
+// Writes an n-frame test video; frame i is the flat luma level
+// 21 + (i % 100) * 2 (gray chroma). Container from the file suffix
+// (.mp4/.avi -> mpeg4, .webm -> vp8). Returns 1 on success.
+int vrt_encode_video(const char* path, int w, int h, int n, double fps) {
+  return encode_video_file(path, w, h, n, fps) ? 1 : 0;
+}
+
+// Writes a 0.5-amplitude sine at `freq` Hz (.mp3 via lame, else PCM wav).
+int vrt_encode_audio_tone(const char* path, int sample_rate,
+                          int64_t n_samples, double freq) {
+  return encode_audio_tone(path, sample_rate, n_samples, freq) ? 1 : 0;
+}
+
+}  // extern "C"

@@ -28,6 +28,7 @@ import argparse
 import copy
 import json
 import os
+import re
 import sys
 from typing import Any
 
@@ -84,9 +85,29 @@ def parse_task_string(task: str) -> list[tuple[str, list[str]]]:
     return heads
 
 
+_ENV_RE = re.compile(r"\$\{(\w+)(?::-([^}]*))?\}")
+
+
+def expand_env(value):
+    """Expand ``${VAR}`` / ``${VAR:-default}`` placeholders in strings.
+
+    The shipped config catalog roots dataset paths at ``${VAST_DATA:-datasets}``
+    so one env var repoints every task config; expansion is recursive over
+    dicts/lists so it applies uniformly to any cfg value.
+    """
+    if isinstance(value, str):
+        return _ENV_RE.sub(
+            lambda m: os.environ.get(m.group(1), m.group(2) or ""), value)
+    if isinstance(value, dict):
+        return type(value)({k: expand_env(v) for k, v in value.items()})
+    if isinstance(value, (list, tuple)):
+        return type(value)(expand_env(v) for v in value)
+    return value
+
+
 def _load_json(path: str) -> EasyDict:
     with open(path) as f:
-        return EasyDict(json.load(f))
+        return EasyDict(expand_env(json.load(f)))
 
 
 def _resolve_default(path: str) -> str:

@@ -1,4 +1,8 @@
-"""Host-side audio reading: WAV decode + resample to fixed-length 16 kHz.
+"""Host-side audio reading: decode + resample to fixed-length 16 kHz.
+
+WAV goes through the stdlib/native fast path; every other container/codec
+(mp3, mkv, mp4, ...) decodes through the native FFmpeg runtime
+(runtime/vast_media.cpp).
 
 Reference equivalent: data/audio_mapper.py, which ran torchaudio load +
 kaldi fbank on CPU workers. Here hosts only decode PCM and resample; the
@@ -72,14 +76,22 @@ class AudioMapper:
             if os.path.exists(path + suffix):
                 path = path + suffix
                 break
-        if not os.path.exists(path) or not path.endswith(".wav"):
-            # mp3/mkv need ffmpeg (absent in this image) — zero fallback
-            if os.path.exists(path):
-                LOGGER.info("non-wav audio %s needs ffmpeg; zero fallback",
-                            path)
+        if not os.path.exists(path):
+            # missing audio -> zero waveform (audio_mapper.py:40-42)
             return np.zeros(self.num_samples, np.float32), 0
         from vast_tpu.data.vision import _native_runtime
         nat = _native_runtime()
+        if not path.endswith(".wav"):
+            # mp3/mkv/mp4/...: native FFmpeg decode (the reference used
+            # torchaudio here, audio_mapper.py:30-48)
+            if nat is not None and nat.media_available():
+                out, valid = nat.load_audio_batch([path], self.num_samples,
+                                                  n_threads=1)
+                if valid[0]:
+                    return out[0], 1
+            LOGGER.info("cannot decode %s (no media runtime); zero fallback",
+                        path)
+            return np.zeros(self.num_samples, np.float32), 0
         if nat is not None:
             out, valid = nat.load_wav_batch([path], self.num_samples,
                                             n_threads=1)

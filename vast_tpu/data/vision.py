@@ -4,8 +4,9 @@ Reference equivalent: data/vision_mapper.py, which decoded AND transformed
 on CPU workers. Here hosts only decode to uint8 at a fixed host resolution;
 resize/crop/flip/normalize run on device (ops/image.py). Supported
 ``vision_format`` values match the reference: ``image_rawimage``,
-``video_frame`` (frame directories), ``video_rawvideo`` (requires decord
-or ffmpeg — gated, absent in this image).
+``video_frame`` (frame directories), ``video_rawvideo`` (native FFmpeg
+runtime, with decord / ffmpeg-CLI-pipe fallbacks), and ``video_feats``
+(precomputed hdf5/npy features, vision_mapper.py:86-96).
 
 Frame sampling reproduces utils/tool.py:12 ``split()`` + random-in-segment
 (train) / center (eval) selection (vision_mapper.py:144-148).
@@ -15,6 +16,8 @@ from __future__ import annotations
 
 import os
 import random
+import shutil
+import subprocess
 
 import numpy as np
 
@@ -98,6 +101,15 @@ class VisionMapper:
         # decode at ~1.15x the model resolution so crop_flip has margin
         self.host_size = int(self.resolution * 1.15)
         self.transforms = d_cfg.get("vision_transforms", "none")
+        # feature-extraction mode (vision_mapper.py:23-26, :141-143)
+        self.dense_extraction = d_cfg.get("dense_extraction", False)
+        self.extract_fps = d_cfg.get("extract_fps")
+        self.frame_fps = d_cfg.get("frame_fps")
+        # precomputed-feature pooling target (vision_mapper.py:102; the
+        # reference reads self.num_pre_clips, whose assignment is commented
+        # out in its constructor — we take it from the dataset cfg, falling
+        # back to the sample budget)
+        self.num_pre_clips = d_cfg.get("num_pre_clips", self.sample_num)
 
     def read(self, id_) -> np.ndarray | None:
         """Returns uint8 (n, H, W, 3) or None on decode failure."""
@@ -121,34 +133,109 @@ class VisionMapper:
             if self.vision_format == "video_frame":
                 frame_dir = os.path.join(self.vision, str(id_))
                 frames = sorted(os.listdir(frame_dir))
-                idx = sample_indices(len(frames), self.sample_num,
-                                     self.training)
+                n = self.sample_num
+                if self.dense_extraction:  # vision_mapper.py:157-159
+                    n = max(1, int(len(frames) * self.extract_fps
+                                   / self.frame_fps))
+                idx = sample_indices(len(frames), n, self.training)
                 out = [_resize_short_side(
                     _load_image(os.path.join(frame_dir, frames[i])),
                     self.host_size) for i in idx]
                 return np.stack(out)
             if self.vision_format == "video_rawvideo":
                 return self._read_video(id_)
+            if self.vision_format == "video_feats":
+                return self._read_feats(id_)
             raise NotImplementedError(self.vision_format)
         except Exception as e:  # resample-on-corrupt upstream
             LOGGER.info("vision read failed for %s: %s", id_, e)
             return None
 
+    def _sample_count(self, num_frames: int, fps: float) -> int:
+        if self.dense_extraction:  # vision_mapper.py:141-143
+            return max(1, int(num_frames * self.extract_fps / max(fps, 1e-6)))
+        return self.sample_num
+
     def _read_video(self, id_):
+        """video container -> (n, host_size, host_size, 3) uint8.
+
+        Decode priority: native FFmpeg runtime (runtime/vast_media.cpp)
+        -> decord -> ffmpeg CLI pipe. Reference: vision_mapper.py:125-149
+        (decord only).
+        """
         path = os.path.join(self.vision, str(id_))
         for suffix in ("", ".mp4", ".avi", ".webm", ".mkv"):
             if os.path.exists(path + suffix):
                 path = path + suffix
                 break
+        nat = _native_runtime()
+        if nat is not None and nat.media_available():
+            counts, fps = nat.video_info_batch([path], n_threads=1)
+            if counts[0] > 0:
+                idx = sample_indices(
+                    int(counts[0]),
+                    self._sample_count(int(counts[0]), float(fps[0])),
+                    self.training)
+                frames, ok = nat.decode_video_batch(
+                    [path], np.asarray([idx], np.int32), self.host_size,
+                    n_threads=1)
+                if ok[0]:
+                    return frames[0]
+            raise RuntimeError(f"native video decode failed for {path}")
         try:
-            import decord  # optional (absent here)
+            import decord  # optional
             vr = decord.VideoReader(path)
-            idx = sample_indices(len(vr), self.sample_num, self.training)
+            idx = sample_indices(
+                len(vr), self._sample_count(len(vr), vr.get_avg_fps()),
+                self.training)
             frames = vr.get_batch(idx).asnumpy()
             return np.stack([_resize_short_side(f, self.host_size)
                              for f in frames])
         except ImportError:
             pass
-        # ffmpeg-pipe fallback (also absent in this image; gated)
+        if shutil.which("ffmpeg"):
+            return self._ffmpeg_pipe_read(path)
         raise RuntimeError(
-            "video decode requires decord or ffmpeg; neither is available")
+            "video decode needs the native media runtime, decord, or ffmpeg")
+
+    def _ffmpeg_pipe_read(self, path: str) -> np.ndarray:
+        """Last-resort decode: pipe every frame as rawvideo RGB24 through
+        the ffmpeg CLI, then sample. Square-scales the short side to
+        host_size with centered crop (matching the native path)."""
+        s = self.host_size
+        probe = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=width,height", "-of", "csv=p=0", path],
+            capture_output=True, text=True, check=True)
+        w, h = (int(x) for x in probe.stdout.strip().split(",")[:2])
+        scale = s / min(w, h)
+        nw, nh = max(s, round(w * scale)), max(s, round(h * scale))
+        out = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", path, "-f", "rawvideo",
+             "-pix_fmt", "rgb24", "-vf",
+             f"scale={nw}:{nh},crop={s}:{s}", "pipe:1"],
+            capture_output=True, check=True).stdout
+        frames = np.frombuffer(out, np.uint8)
+        n = len(frames) // (s * s * 3)
+        frames = frames[: n * s * s * 3].reshape(n, s, s, 3)
+        idx = sample_indices(n, self._sample_count(n, 25.0), self.training)
+        return frames[idx]
+
+    def _read_feats(self, id_):
+        """Precomputed features (hdf5 / npy), L2-normalized then mean-pooled
+        into ``num_pre_clips`` even segments (vision_mapper.py:86-114)."""
+        if self.vision.endswith("hdf5"):
+            import h5py
+            with h5py.File(self.vision, "r") as f:
+                g = f[str(id_)]
+                feat = g["c3d_features"][:] if "c3d_features" in g else g[:]
+        else:
+            feat = np.load(os.path.join(self.vision, f"{id_}.npy"))
+        feat = np.asarray(feat, np.float32)
+        feat /= np.maximum(np.linalg.norm(feat, axis=1, keepdims=True), 1e-12)
+        n_pre, n_src = self.num_pre_clips, feat.shape[0]
+        idxs = np.round(np.arange(n_pre + 1) / n_pre * n_src).astype(np.int64)
+        idxs = np.minimum(idxs, n_src - 1)
+        pooled = [feat[s:e].mean(axis=0) if s < e else feat[s]
+                  for s, e in zip(idxs[:-1], idxs[1:])]
+        return np.stack(pooled)

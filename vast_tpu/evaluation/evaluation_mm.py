@@ -116,15 +116,20 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg):
                         for k, v in log2.items()})
         val_log[f"ret_itc_{st}"] = log
 
-        # ITM rerank
+        # ITM rerank (per direction, matching refine_score_matrix's
+        # direction arg — evaluation_mm.py:253-259: forward reranks the
+        # top-k videos per text, backward the top-k texts per video)
         cseq = gather_array(np.concatenate(cond_seqs[st]))
+        top_k = int(run_cfg.get("itm_rerank_num", 50))
         refined = rerank_scores(model, params, cseq, input_ids,
-                                attention_mask, score,
-                                int(run_cfg.get("itm_rerank_num", 50)))
+                                attention_mask, score, top_k, "forward")
         log = compute_metric_ret(refined, ids, ids_txt, "forward")
         log = {k.replace("forward", "video"): v for k, v in log.items()}
         if run_cfg.get("ret_bidirection_evaluation"):
-            log2 = compute_metric_ret(refined, ids, ids_txt, "backward")
+            refined_b = rerank_scores(model, params, cseq, input_ids,
+                                      attention_mask, score, top_k,
+                                      "backward")
+            log2 = compute_metric_ret(refined_b, ids, ids_txt, "backward")
             log.update({k.replace("backward", "txt"): v
                         for k, v in log2.items()})
         val_log[f"ret_itm_{st}"] = log
@@ -154,19 +159,27 @@ def _device_batch(batch):
 
 
 def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
-                  itc_scores, top_k, chunk: int = 64):
+                  itc_scores, top_k, direction: str = "forward",
+                  chunk: int = 64):
     """Batched ITM rerank: score the ITC top-k (text, cond) pairs.
 
-    Returns a matrix with ITM probabilities at reranked cells and 0
-    elsewhere — ranking semantics identical to refine_score_matrix
-    (evaluation_mm.py:253-319) but O(N*k/chunk) device calls instead of a
-    per-column Python loop.
+    ``direction='forward'`` reranks each text's top-k candidate videos;
+    ``'backward'`` each video's top-k candidate texts. Returns a matrix
+    with ITM probabilities at reranked cells and 0 elsewhere — ranking
+    semantics identical to refine_score_matrix (evaluation_mm.py:253-319)
+    but O(N*k/chunk) device calls instead of a per-column Python loop.
     """
     n_text, n_cond = itc_scores.shape
-    k = min(top_k, n_cond)
-    top = np.argsort(-itc_scores, axis=1)[:, :k]          # (n_text, k)
-    pair_t = np.repeat(np.arange(n_text), k)
-    pair_c = top.reshape(-1)
+    if direction == "forward":
+        k = min(top_k, n_cond)
+        top = np.argsort(-itc_scores, axis=1)[:, :k]      # (n_text, k)
+        pair_t = np.repeat(np.arange(n_text), k)
+        pair_c = top.reshape(-1)
+    else:
+        k = min(top_k, n_text)
+        top = np.argsort(-itc_scores, axis=0)[:k]         # (k, n_cond)
+        pair_c = np.tile(np.arange(n_cond), k)
+        pair_t = top.reshape(-1)
 
     score_fn = jax.jit(functools.partial(_slice_scores, model))
     out = np.zeros_like(itc_scores)
