@@ -29,6 +29,26 @@ def main():
     from vast_tpu.training import pipeline
     from vast_tpu.training.saver import ModelSaver, restore_params_from
 
+    def load_checkpoint_params(path, model, opts, tokenizer):
+        """--checkpoint dispatch: released torch .pt/.bin files and
+        pretrain dirs convert through the surgery pipeline
+        (utils/build_model.py:25-48); anything else is an orbax dir."""
+        from vast_tpu.convert.vast_ckpt import (find_pretrain_checkpoint,
+                                                ingest_torch_checkpoint)
+        if os.path.isfile(path):
+            LOGGER.info("ingesting torch checkpoint %s", path)
+            return ingest_torch_checkpoint(path, model.cfg)
+        try:
+            find_pretrain_checkpoint(path)
+            is_pretrain_dir = True
+        except (FileNotFoundError, NotADirectoryError):
+            is_pretrain_dir = False
+        if is_pretrain_dir:
+            LOGGER.info("ingesting pretrain dir %s", path)
+            return ingest_torch_checkpoint(path, model.cfg)
+        return restore_params_from(
+            path, pipeline.init_params(model, opts, tokenizer))
+
     opts = get_args()
     pipeline.initialize(opts)
     if opts.run_cfg.output_dir and opts.run_cfg.output_dir != "none":
@@ -45,8 +65,20 @@ def main():
         start_step = 0
         params = None
         if opts.run_cfg.get("checkpoint"):
-            params = pipeline.init_params(model, opts, tokenizer)
-            params = restore_params_from(opts.run_cfg.checkpoint, params)
+            params = load_checkpoint_params(opts.run_cfg.checkpoint, model,
+                                            opts, tokenizer)
+        elif opts.run_cfg.get("pretrain_dir"):
+            # finetune-from-pretrain: weights come from the pretrain dir in
+            # addition to the inherit_keys config merge (build_model.py:25-27)
+            from vast_tpu.convert.vast_ckpt import ingest_torch_checkpoint
+            try:
+                params = ingest_torch_checkpoint(opts.run_cfg.pretrain_dir,
+                                                 model.cfg)
+                LOGGER.info("loaded pretrain weights from %s",
+                            opts.run_cfg.pretrain_dir)
+            except FileNotFoundError as e:
+                LOGGER.warning("pretrain_dir has no weight files (%s); "
+                               "config inherited only", e)
         if opts.run_cfg.get("resume"):
             from vast_tpu.training.optimizer import build_optimizer
             from vast_tpu.training.step import create_train_state
@@ -72,10 +104,11 @@ def main():
         pipeline.train(model, opts, tokenizer, train_loader, val_loaders,
                        state=state, start_step=start_step)
     elif opts.run_cfg.mode == "testing":
-        params = pipeline.init_params(model, opts, tokenizer)
         if opts.run_cfg.get("checkpoint"):
-            params = restore_params_from(opts.run_cfg.checkpoint, params)
+            params = load_checkpoint_params(opts.run_cfg.checkpoint, model,
+                                            opts, tokenizer)
         else:
+            params = pipeline.init_params(model, opts, tokenizer)
             LOGGER.warning("testing with randomly initialized params "
                            "(no --checkpoint given)")
         pipeline.test(model, opts, tokenizer, val_loaders, params)

@@ -33,11 +33,18 @@ def _load():
                     for s in _SOURCES if os.path.exists(os.path.join(_DIR, s)))
     if (not os.path.exists(_LIB_PATH)
             or os.path.getmtime(_LIB_PATH) < src_mtime):
+        # serialize concurrent builds (several test/train processes may
+        # import simultaneously; unserialized makes race on the .so)
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True)
+            import fcntl
+            with open(os.path.join(_DIR, ".build.lock"), "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                if (not os.path.exists(_LIB_PATH)
+                        or os.path.getmtime(_LIB_PATH) < src_mtime):
+                    subprocess.run(["make", "-C", _DIR], check=True,
+                                   capture_output=True)
         except Exception:
-            return None
+            pass  # fall through: a stale-but-loadable .so beats nothing
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -1,0 +1,212 @@
+"""Golden-value fbank parity vs the torchaudio.compliance.kaldi algorithm.
+
+torchaudio itself is not installed in this image, so the reference here is
+an independent line-by-line torch reimplementation of
+``torchaudio.compliance.kaldi.fbank`` (same structure: _get_strided via
+as_strided, _get_log_energy, preemphasis-then-window, pow2 padding, mel
+banks with the padded zero nyquist column). Golden outputs for both VAST
+presets (BEATs: povey/128/int16-scale; AST: hanning/64/htk_compat —
+audio_mapper.py:46-62) are committed as .npy and asserted against BOTH
+implementations, so a regression in either side trips the test.
+
+SURVEY §7.3 hard part #1.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from vast_tpu.ops.fbank import ast_fbank, beats_fbank, kaldi_fbank
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+EPSILON = 1.1920928955078125e-07
+
+
+# ----------------------------------------------------------------------
+# torchaudio.compliance.kaldi.fbank reimplementation (torch, independent
+# of vast_tpu.ops.fbank)
+# ----------------------------------------------------------------------
+
+def _get_strided(waveform, window_size, window_shift):
+    num_samples = waveform.size(0)
+    m = 1 + (num_samples - window_size) // window_shift  # snip_edges
+    return waveform.as_strided((m, window_size), (window_shift, 1))
+
+
+def _feature_window(window_type, window_size):
+    if window_type == "povey":
+        return torch.hann_window(window_size, periodic=False).pow(0.85)
+    if window_type == "hanning":
+        return torch.hann_window(window_size, periodic=False)
+    raise ValueError(window_type)
+
+
+def _log_energy(strided, energy_floor):
+    e = torch.max(strided.pow(2).sum(1),
+                  torch.tensor(EPSILON, dtype=torch.float64)).log()
+    if energy_floor == 0.0:
+        return e
+    return torch.max(e, torch.tensor(math.log(energy_floor),
+                                     dtype=torch.float64))
+
+
+def _mel_scale(freq):
+    return 1127.0 * np.log(1.0 + freq / 700.0)
+
+
+def _get_mel_banks(num_bins, window_length_padded, sample_freq,
+                   low_freq, high_freq):
+    num_fft_bins = window_length_padded // 2
+    nyquist = 0.5 * sample_freq
+    if high_freq <= 0.0:
+        high_freq += nyquist
+    fft_bin_width = sample_freq / window_length_padded
+    mel_low = _mel_scale(low_freq)
+    mel_high = _mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+    bins = np.arange(num_bins)[:, None]
+    left, center, right = (mel_low + (bins + i) * mel_delta for i in range(3))
+    mel = _mel_scale(fft_bin_width * np.arange(num_fft_bins))[None, :]
+    up = (mel - left) / (center - left)
+    down = (right - mel) / (right - center)
+    return torch.tensor(np.maximum(0.0, np.minimum(up, down)))
+
+
+def torchaudio_kaldi_fbank(waveform, sample_frequency=16000.0,
+                           frame_length=25.0, frame_shift=10.0,
+                           num_mel_bins=23, window_type="povey",
+                           preemphasis_coefficient=0.97,
+                           remove_dc_offset=True, low_freq=20.0,
+                           high_freq=0.0, use_energy=False,
+                           energy_floor=1.0, raw_energy=True,
+                           htk_compat=False, use_power=True,
+                           use_log_fbank=True, dither=0.0):
+    """fbank() mirror; float64 like torchaudio's internal compute."""
+    assert dither == 0.0
+    waveform = waveform.to(torch.float64).squeeze(0)
+    window_shift = int(sample_frequency * frame_shift * 0.001)
+    window_size = int(sample_frequency * frame_length * 0.001)
+    padded = 1 << (window_size - 1).bit_length()
+
+    strided = _get_strided(waveform, window_size, window_shift)
+    if remove_dc_offset:
+        strided = strided - strided.mean(dim=1, keepdim=True)
+    if use_energy and raw_energy:
+        signal_log_energy = _log_energy(strided, energy_floor)
+    if preemphasis_coefficient != 0.0:
+        offset = torch.nn.functional.pad(
+            strided.unsqueeze(0), (1, 0), mode="replicate").squeeze(0)
+        strided = strided - preemphasis_coefficient * offset[:, :-1]
+    strided = strided * _feature_window(window_type, window_size).to(
+        torch.float64)
+    if use_energy and not raw_energy:
+        signal_log_energy = _log_energy(strided, energy_floor)
+    if padded != window_size:
+        strided = torch.nn.functional.pad(strided, (0, padded - window_size))
+
+    spectrum = torch.fft.rfft(strided).abs()
+    if use_power:
+        spectrum = spectrum.pow(2.0)
+
+    mel = _get_mel_banks(num_mel_bins, padded, sample_frequency,
+                         low_freq, high_freq)
+    mel = torch.nn.functional.pad(mel, (0, 1))  # zero nyquist column
+    mel_energies = spectrum @ mel.T
+    if use_log_fbank:
+        mel_energies = torch.max(
+            mel_energies, torch.tensor(EPSILON, dtype=torch.float64)).log()
+    if use_energy:
+        e = signal_log_energy.unsqueeze(1)
+        mel_energies = (torch.cat((mel_energies, e), dim=1) if htk_compat
+                        else torch.cat((e, mel_energies), dim=1))
+    return mel_energies.to(torch.float32)
+
+
+# ----------------------------------------------------------------------
+# fixtures + goldens
+# ----------------------------------------------------------------------
+
+def _fixture_waveform(n=8000, sr=16000):
+    """Deterministic tone mix + noise, int16-quantized like real decode."""
+    rs = np.random.RandomState(1234)
+    t = np.arange(n) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1330 * t + 0.5)
+         + 0.05 * rs.randn(n))
+    return np.round(np.clip(x, -1, 1) * 32767).astype(np.int16)
+
+
+def _golden(name, compute):
+    path = os.path.join(GOLDEN_DIR, name)
+    if not os.path.exists(path):  # regenerate: delete the file and rerun
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, compute())
+    return np.load(path)
+
+
+def test_beats_preset_golden():
+    wav = _fixture_waveform()
+    scaled = torch.tensor(wav[None].astype(np.float32) / 32768.0) * 2 ** 15
+    ref = torchaudio_kaldi_fbank(scaled, num_mel_bins=128,
+                                 sample_frequency=16000,
+                                 frame_length=25, frame_shift=10).numpy()
+    golden = _golden("fbank_beats_128.npy", lambda: ref)
+    np.testing.assert_allclose(ref, golden, atol=1e-4)
+
+    got = np.asarray(beats_fbank(
+        jnp.asarray(wav.astype(np.float32) / 32768.0 * 2 ** 15)))
+    assert got.shape == golden.shape == (48, 128)
+    assert np.abs(got - golden).max() < 1e-3
+
+
+def test_ast_preset_golden():
+    wav = _fixture_waveform()
+    w = torch.tensor(wav[None].astype(np.float32) / 32768.0)
+    w = w - w.mean()  # audio_mapper.py:46
+    ref = torchaudio_kaldi_fbank(w, htk_compat=True, use_energy=False,
+                                 window_type="hanning", num_mel_bins=64,
+                                 sample_frequency=16000,
+                                 frame_shift=10).numpy()
+    golden = _golden("fbank_ast_64.npy", lambda: ref)
+    np.testing.assert_allclose(ref, golden, atol=1e-4)
+
+    x = wav.astype(np.float32) / 32768.0
+    x = x - x.mean()
+    got = np.asarray(ast_fbank(jnp.asarray(x), 16000, 64))
+    assert got.shape == golden.shape == (48, 64)
+    assert np.abs(got - golden).max() < 1e-3
+
+
+def test_use_energy_htk_compat_column():
+    wav = _fixture_waveform(4000)
+    x = torch.tensor(wav[None].astype(np.float32)) * 1.0
+    for htk in (False, True):
+        ref = torchaudio_kaldi_fbank(x, num_mel_bins=24, use_energy=True,
+                                     htk_compat=htk).numpy()
+        got = np.asarray(kaldi_fbank(jnp.asarray(wav.astype(np.float32)),
+                                     num_mel_bins=24, use_energy=True,
+                                     htk_compat=htk))
+        assert got.shape == ref.shape == (23, 25)
+        assert np.abs(got - ref).max() < 1e-3
+    # energy column position flips with htk_compat
+    e_first = torchaudio_kaldi_fbank(x, num_mel_bins=24, use_energy=True,
+                                     htk_compat=False).numpy()[:, 0]
+    e_last = torchaudio_kaldi_fbank(x, num_mel_bins=24, use_energy=True,
+                                    htk_compat=True).numpy()[:, -1]
+    np.testing.assert_allclose(e_first, e_last, rtol=1e-6)
+
+
+def test_htk_compat_noop_without_energy():
+    wav = _fixture_waveform(4000).astype(np.float32)
+    a = np.asarray(kaldi_fbank(jnp.asarray(wav), num_mel_bins=24,
+                               htk_compat=False))
+    b = np.asarray(kaldi_fbank(jnp.asarray(wav), num_mel_bins=24,
+                               htk_compat=True))
+    np.testing.assert_array_equal(a, b)

@@ -274,6 +274,84 @@ def convert_ast_audioset(ast_sd: dict, melbins: int = 64,
 
 
 # ------------------------------------------------------------------
+# checkpoint file/dir ingestion (utils/build_model.py:19-103)
+# ------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> dict:
+    """torch.load a .pt/.bin checkpoint -> flat numpy state dict.
+
+    Applies the reference's generic unwrapping (build_model.py:40-46):
+    strip ``module.`` (DDP) prefixes and descend into a ``model`` sub-key.
+    """
+    import torch
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # older pickles with config objects inside
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt and isinstance(
+            ckpt["model"], dict):
+        ckpt = ckpt["model"]
+    ckpt = {k.replace("module.", ""): v for k, v in ckpt.items()}
+    return to_numpy_state_dict(ckpt)
+
+
+def find_pretrain_checkpoint(pretrain_dir: str) -> list[str]:
+    """Locate the newest weight file(s) under a pretrain output dir.
+
+    Formats, in the reference's priority order (build_model.py:65-103):
+    HF-trainer ``checkpoint-N/pytorch_model.bin`` (or the 2-shard
+    ``pytorch_model-0000i-of-00002.bin`` pair), else native
+    ``ckpt/model_step_N.pt``. Returns the file path(s) to load+merge.
+    """
+    import os
+    import re
+
+    steps = []
+    for name in os.listdir(pretrain_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and os.path.isdir(os.path.join(pretrain_dir, name)):
+            steps.append(int(m.group(1)))
+    if steps:
+        cdir = os.path.join(pretrain_dir, f"checkpoint-{max(steps)}")
+        single = os.path.join(cdir, "pytorch_model.bin")
+        if os.path.exists(single):
+            return [single]
+        shards = [os.path.join(cdir, f"pytorch_model-{i:05d}-of-00002.bin")
+                  for i in (1, 2)]
+        if all(os.path.exists(s) for s in shards):
+            return shards
+    ckpt_dir = os.path.join(pretrain_dir, "ckpt")
+    if os.path.isdir(ckpt_dir):
+        steps = []
+        for name in os.listdir(ckpt_dir):
+            m = re.fullmatch(r"model_step_(\d+)\.pt", name)
+            if m:
+                steps.append(int(m.group(1)))
+        if steps:
+            return [os.path.join(ckpt_dir, f"model_step_{max(steps)}.pt")]
+    raise FileNotFoundError(
+        f"no checkpoint-N/pytorch_model*.bin or ckpt/model_step_N.pt "
+        f"under {pretrain_dir}")
+
+
+def ingest_torch_checkpoint(path: str, cfg) -> dict:
+    """One .pt/.bin file (or pretrain dir) -> flax params for VASTModel(cfg).
+
+    The CLI entry for finetune-from-pretrain: ``--checkpoint foo.pt`` or
+    ``--pretrain_dir <dir>`` land here (reference: build_model.py:25-48).
+    """
+    import os
+
+    paths = (find_pretrain_checkpoint(path) if os.path.isdir(path)
+             else [path])
+    sd: dict = {}
+    for p in paths:  # 2-shard merge = dict update (build_model.py:79-85)
+        sd.update(load_torch_state_dict(p))
+    return convert_vast_checkpoint(sd, cfg)
+
+
+# ------------------------------------------------------------------
 # full model
 # ------------------------------------------------------------------
 

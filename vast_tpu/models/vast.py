@@ -373,7 +373,19 @@ class VASTModel(nn.Module):
         wav = batch["audio_waveforms"]
         n = c.max_audio_sample_num
         t = c.audio_target_length
-        fb = kaldi_fbank(wav, num_mel_bins=c.audio_melbins)
+        if c.audio_encoder_type.startswith("beats"):
+            # povey window on the int16-scale waveform (audio_mapper.py:55-62)
+            fb = kaldi_fbank(wav, num_mel_bins=c.audio_melbins)
+        else:
+            # AST preset (audio_mapper.py:46-52): [-1,1] waveform minus its
+            # whole-clip mean, hanning window, htk_compat (the host layer
+            # delivers int16 scale uniformly; undo it here). Divergence from
+            # the reference: it computes fbank at the file's native sample
+            # rate, we resample to 16 kHz on the host.
+            w = wav * (1.0 / 32768.0)
+            w = w - jnp.mean(w, axis=-1, keepdims=True)
+            fb = kaldi_fbank(w, num_mel_bins=c.audio_melbins,
+                             window_type="hanning", htk_compat=True)
         mean, std = AUDIO_STATS["beats" if c.audio_encoder_type.startswith("beats")
                                 else "ast"]
         fb = (fb - mean) / (2.0 * std)

@@ -34,16 +34,12 @@ def _mel(f):
 
 @functools.lru_cache(maxsize=8)
 def mel_banks(num_bins: int, fft_len: int, sample_rate: float,
-              low_freq: float = 20.0, high_freq: float = 0.0,
-              htk_compat: bool = False) -> np.ndarray:
+              low_freq: float = 20.0, high_freq: float = 0.0) -> np.ndarray:
     """Kaldi MelBanks weights, shape (num_fft_bins, num_bins) fp32.
 
-    num_fft_bins = fft_len // 2 (nyquist bin excluded, as in kaldi).
-    ``htk_compat`` only changes bin ordering/energy slot upstream in kaldi;
-    the triangle construction is identical, so it is accepted for API parity
-    but unused here.
+    num_fft_bins = fft_len // 2 (the nyquist bin carries zero weight in
+    torchaudio's banks — it pads a zero column — so excluding it is exact).
     """
-    del htk_compat
     nyquist = 0.5 * sample_rate
     if high_freq <= 0.0:
         high_freq = nyquist + high_freq
@@ -86,13 +82,21 @@ def kaldi_fbank(waveform, *, sample_rate: int = 16000, num_mel_bins: int = 128,
                 frame_length_ms: float = 25.0, frame_shift_ms: float = 10.0,
                 window_type: str = "povey", preemphasis: float = 0.97,
                 remove_dc_offset: bool = True, low_freq: float = 20.0,
-                high_freq: float = 0.0, use_power: bool = True):
+                high_freq: float = 0.0, use_power: bool = True,
+                use_energy: bool = False, energy_floor: float = 1.0,
+                raw_energy: bool = True, htk_compat: bool = False):
     """Log-mel fbank of a mono waveform.
 
     waveform: (..., num_samples) float (kaldi int16 scale for BEATs parity —
     multiply by 2**15 before calling, as the reference does at
     data/audio_mapper.py:59).
-    Returns (..., num_frames, num_mel_bins) float32.
+    Returns (..., num_frames, num_mel_bins [+1 if use_energy]) float32.
+
+    ``htk_compat`` matches torchaudio.compliance.kaldi.fbank semantics: it
+    only changes where the energy column goes (last vs first) and only when
+    ``use_energy`` is true — with use_energy=False (both VAST presets,
+    audio_mapper.py:46-62) it is a numeric no-op. Golden parity vs the
+    torchaudio algorithm is asserted in tests/test_fbank_golden.py.
     """
     frame_len = int(sample_rate * frame_length_ms / 1000)
     frame_shift = int(sample_rate * frame_shift_ms / 1000)
@@ -109,20 +113,41 @@ def kaldi_fbank(waveform, *, sample_rate: int = 16000, num_mel_bins: int = 128,
 
     if remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+
+    log_energy = None
+    if use_energy and raw_energy:
+        log_energy = _log_energy(frames, energy_floor)
+
     if preemphasis:
         first = frames[..., :1] - preemphasis * frames[..., :1]
         rest = frames[..., 1:] - preemphasis * frames[..., :-1]
         frames = jnp.concatenate([first, rest], axis=-1)
 
     frames = frames * jnp.asarray(_window(window_type, frame_len))
+    if use_energy and not raw_energy:
+        log_energy = _log_energy(frames, energy_floor)
     spec = jnp.fft.rfft(frames, n=fft_len, axis=-1)
     power = (spec.real ** 2 + spec.imag ** 2) if use_power else jnp.abs(spec)
-    power = power[..., : fft_len // 2]  # kaldi mel banks exclude nyquist
+    power = power[..., : fft_len // 2]  # nyquist column is zero-weighted
 
     banks = jnp.asarray(mel_banks(num_mel_bins, fft_len, float(sample_rate),
                                   low_freq, high_freq))
     mel = power @ banks
-    return jnp.log(jnp.maximum(mel, EPS))
+    out = jnp.log(jnp.maximum(mel, EPS))
+    if use_energy:
+        e = log_energy[..., None]
+        # energy column: htk_compat puts it last, kaldi-style first
+        out = (jnp.concatenate([out, e], axis=-1) if htk_compat
+               else jnp.concatenate([e, out], axis=-1))
+    return out
+
+
+def _log_energy(frames, energy_floor: float):
+    """Per-frame log energy with floor (torchaudio _get_log_energy)."""
+    e = jnp.log(jnp.maximum(jnp.sum(frames ** 2, axis=-1), EPS))
+    if energy_floor == 0.0:
+        return e
+    return jnp.maximum(e, math.log(energy_floor))
 
 
 def beats_fbank(waveform_int16_scale):
@@ -131,6 +156,9 @@ def beats_fbank(waveform_int16_scale):
 
 
 def ast_fbank(waveform, sample_rate: int, num_mel_bins: int = 64):
-    """AST preset (data/audio_mapper.py:46-52): hanning window, htk_compat."""
+    """AST preset (data/audio_mapper.py:46-52): hanning window,
+    htk_compat=True + use_energy=False (htk_compat is numerically inert
+    without the energy column — see kaldi_fbank)."""
     return kaldi_fbank(waveform, sample_rate=sample_rate,
-                       num_mel_bins=num_mel_bins, window_type="hanning")
+                       num_mel_bins=num_mel_bins, window_type="hanning",
+                       htk_compat=True)

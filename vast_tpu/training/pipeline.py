@@ -96,7 +96,19 @@ def init_params(model, opts, tokenizer, rng=None):
         compute_loss=True, deterministic=True,
         step_rngs={"mask": jax.random.PRNGKey(1),
                    "negatives": jax.random.PRNGKey(2)})
-    return variables["params"]
+    params = variables["params"]
+    if "contra_head_s" not in params:
+        # contra_head_s exists in the reference model (and its released
+        # checkpoints) but no subtask string ever requests feat_s
+        # (model/vast.py:235-240 is dead code there); materialize it so
+        # param trees are congruent with converted checkpoints.
+        import flax.linen as nn
+        head = nn.Dense(c.contra_dim, use_bias=False)
+        bc = c.resolved_bert_cfg()
+        params["contra_head_s"] = head.init(
+            jax.random.fold_in(rng, 7),
+            jnp.zeros((1, bc.hidden_size)))["params"]
+    return params
 
 
 def create_train_dataloaders(opts, tokenizer):
