@@ -55,7 +55,7 @@ def main():
         dump_hps(opts)
 
     tokenizer = pipeline.build_tokenizer(opts)
-    model = pipeline.build_model(opts)
+    model = pipeline.build_model(opts, tokenizer=tokenizer)
 
     val_loaders = pipeline.create_val_dataloaders(opts, tokenizer)
 

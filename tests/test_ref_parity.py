@@ -290,6 +290,64 @@ def test_bert_mask_append_decode_parity(ref_bert):
                 break
 
 
+def test_swin_reference_parity():
+    """Swin tower vs the vendored swin.py (general_module.py:528-583):
+    shifted-window attention, relative bias tables, patch merging."""
+    ref_swin = _load_ref("refswin", f"{REF}/model/vision_encoders/swin",
+                         "swin")
+    torch.manual_seed(7)
+    ref = ref_swin.SwinTransformer(
+        img_size=32, patch_size=4, in_chans=3, num_classes=0, embed_dim=16,
+        depths=(2, 2), num_heads=(2, 4), window_size=4, qkv_bias=True,
+        ape=False, patch_norm=True).eval()
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()  # (B, L, C)
+
+    from vast_tpu.convert.vast_ckpt import convert_swin
+    from vast_tpu.models.swin import SwinConfig, SwinTransformer
+    cfg = SwinConfig(image_size=32, patch_size=4, embed_dim=16,
+                     depths=(2, 2), num_heads=(2, 4), window_size=4)
+    params = convert_swin(to_numpy_state_dict(ref.state_dict()), "",
+                          cfg.depths)
+    got = np.asarray(SwinTransformer(cfg).apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_videoswin_reference_parity():
+    """VideoSwin tower vs the vendored videoswin.py
+    (general_module.py:230-243): 3-D shifted windows + 3-D bias."""
+    ref_vs = _load_ref("refvideoswin",
+                       f"{REF}/model/vision_encoders/videoswin", "videoswin")
+    torch.manual_seed(9)
+    ref = ref_vs.SwinTransformer3D(
+        patch_size=(2, 4, 4), embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=(2, 2, 2), qkv_bias=True,
+        drop_path_rate=0.0, patch_norm=True).eval()
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, 3, 4, 16, 16).astype(np.float32)  # (B, C, T, H, W)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()  # (B, C', T', H', W')
+    b, cc, t, h, w = want.shape
+    want = want.transpose(0, 2, 3, 4, 1).reshape(b, t, h * w, cc)
+
+    from vast_tpu.convert.vast_ckpt import convert_videoswin
+    from vast_tpu.models.videoswin import (VideoSwinConfig,
+                                           VideoSwinTransformer)
+    cfg = VideoSwinConfig(patch_size=(2, 4, 4), embed_dim=16,
+                          depths=(2, 2), num_heads=(2, 4),
+                          window_size=(2, 2, 2))
+    params = convert_videoswin(to_numpy_state_dict(ref.state_dict()), "",
+                               cfg.depths)
+    got = np.asarray(VideoSwinTransformer(cfg).apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
 def test_beats_relative_bias_matches_reference(ref_beats):
     """The bucketed relative bias tensor itself (layer 0 computes, all
     layers share — beats.py:323-326)."""

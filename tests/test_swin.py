@@ -44,8 +44,9 @@ def test_videoswin_forward():
                       jnp.float32)
     params = model.init(jax.random.PRNGKey(0), vid)["params"]
     out = model.apply({"params": params}, vid)
-    # T'=2, spatial 8x8 -> merge -> 4x4, dim 32
-    assert out.shape == (2, 2, 16, 32)
+    # time_stride=1 + trailing pad keeps T'=T (videoswin.py:354-366);
+    # spatial 8x8 -> merge -> 4x4, dim 32
+    assert out.shape == (2, 4, 16, 32)
     assert np.isfinite(np.asarray(out)).all()
 
 

@@ -273,6 +273,81 @@ def convert_ast_audioset(ast_sd: dict, melbins: int = 64,
     return out
 
 
+def convert_swin(sd: dict, prefix: str, depths) -> dict:
+    """Official Swin checkpoint (swin_*_patch4_window7_224_22k.pth['model'])
+    -> models.swin params. Reference loads these verbatim into its vendored
+    swin.py (general_module.py:528-583); classification head keys are
+    dropped (they are unexpected_keys there too)."""
+    p = prefix
+    out = {
+        "patch_embed": {
+            "kernel": sd[f"{p}patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"{p}patch_embed.proj.bias"],
+        },
+        "patch_norm": _ln(sd, f"{p}patch_embed.norm"),
+        "norm": _ln(sd, f"{p}norm"),
+    }
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            bp = f"{p}layers.{si}.blocks.{bi}."
+            out[f"stage_{si}_block_{bi}"] = {
+                "norm1": _ln(sd, f"{bp}norm1"),
+                "attn": {
+                    "qkv": _dense(sd, f"{bp}attn.qkv"),
+                    "proj": _dense(sd, f"{bp}attn.proj"),
+                    "relative_position_bias_table":
+                        sd[f"{bp}attn.relative_position_bias_table"],
+                },
+                "norm2": _ln(sd, f"{bp}norm2"),
+                "fc1": _dense(sd, f"{bp}mlp.fc1"),
+                "fc2": _dense(sd, f"{bp}mlp.fc2"),
+            }
+        if si < len(depths) - 1:
+            dp = f"{p}layers.{si}.downsample."
+            out[f"merge_norm_{si}"] = _ln(sd, f"{dp}norm")
+            out[f"merge_reduction_{si}"] = {
+                "kernel": sd[f"{dp}reduction.weight"].T}
+    return out
+
+
+def convert_videoswin(sd: dict, prefix: str, depths) -> dict:
+    """VideoSwin checkpoint (videoswin_base_k600_22k.pth['state_dict'],
+    ``backbone.`` prefix already stripped — general_module.py:230-243)
+    -> models.videoswin params."""
+    p = prefix
+    out = {
+        "patch_embed": {
+            # 3-D conv: torch (C, 3, t, h, w) -> flax (t, h, w, 3, C)
+            "kernel":
+                sd[f"{p}patch_embed.proj.weight"].transpose(2, 3, 4, 1, 0),
+            "bias": sd[f"{p}patch_embed.proj.bias"],
+        },
+        "patch_norm": _ln(sd, f"{p}patch_embed.norm"),
+        "norm": _ln(sd, f"{p}norm"),
+    }
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            bp = f"{p}layers.{si}.blocks.{bi}."
+            out[f"stage_{si}_block_{bi}"] = {
+                "norm1": _ln(sd, f"{bp}norm1"),
+                "attn": {
+                    "qkv": _dense(sd, f"{bp}attn.qkv"),
+                    "proj": _dense(sd, f"{bp}attn.proj"),
+                    "relative_position_bias_table":
+                        sd[f"{bp}attn.relative_position_bias_table"],
+                },
+                "norm2": _ln(sd, f"{bp}norm2"),
+                "fc1": _dense(sd, f"{bp}mlp.fc1"),
+                "fc2": _dense(sd, f"{bp}mlp.fc2"),
+            }
+        if si < len(depths) - 1:
+            dp = f"{p}layers.{si}.downsample."
+            out[f"merge_norm_{si}"] = _ln(sd, f"{dp}norm")
+            out[f"merge_reduction_{si}"] = {
+                "kernel": sd[f"{dp}reduction.weight"].T}
+    return out
+
+
 # ------------------------------------------------------------------
 # checkpoint file/dir ingestion (utils/build_model.py:19-103)
 # ------------------------------------------------------------------
@@ -372,6 +447,10 @@ def convert_vast_checkpoint(state_dict, cfg) -> dict:
     if cfg.vision_encoder_type.startswith("evaclip"):
         vision = convert_eva_vit(sd, "vision_encoder.visual.", vc.layers,
                                  new_grid)
+    elif cfg.vision_encoder_type.startswith("videoswin"):
+        vision = convert_videoswin(sd, "vision_encoder.", vc.depths)
+    elif cfg.vision_encoder_type.startswith("swin"):
+        vision = convert_swin(sd, "vision_encoder.", vc.depths)
     else:
         vision = convert_clip_vit(sd, "vision_encoder.visual.", vc.layers,
                                   new_grid)

@@ -89,6 +89,9 @@ class VASTConfig:
     frozen_vision: bool = False
     frozen_audio: bool = False
     label_smoothing: float = 0.1
+    # tokenizer's [MASK] id; threaded from the tokenizer at build time
+    # (pipeline.build_model) — 103 is the released bert-base-uncased vocab
+    mask_token_id: int = 103
     dtype: Any = jnp.float32
     # explicit sub-configs override the *_encoder_type presets (tiny tests)
     vision_cfg: Optional[Any] = None
@@ -669,8 +672,7 @@ class VASTModel(nn.Module):
         return {"loss_qa": sum(losses) / len(losses)}
 
     def _mask_token_id(self) -> int:
-        # [MASK]=103 in the released vocab; tiny test vocabs keep the layout
-        return 103
+        return self.cfg.mask_token_id
 
     def text_features(self, caption_tokens, caption_attention_mask):
         """feat_t for a text-only chunk (eval driver path)."""

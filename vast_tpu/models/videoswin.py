@@ -29,6 +29,10 @@ class VideoSwinConfig:
     num_heads: tuple = (4, 8, 16, 32)
     window_size: tuple = (8, 7, 7)
     mlp_ratio: float = 4.0
+    # VAST's fork embeds with temporal kernel 2 but stride ``time_stride``
+    # (=1 in production) plus one trailing temporal pad, so T' == T
+    # (videoswin.py:346-366, general_module.py:234)
+    time_stride: int = 1
     ln_eps: float = 1e-5
     dtype: Any = jnp.float32
     remat: bool = False
@@ -162,7 +166,11 @@ class VideoSwinTransformer(nn.Module):
         """(B, T, H, W, 3) -> (B, T', L', num_features)."""
         c = self.cfg
         pt, ph, pw = c.patch_size
-        x = nn.Conv(c.embed_dim, (pt, ph, pw), strides=(pt, ph, pw),
+        # one trailing temporal pad + temporal stride time_stride
+        # (PatchEmbed3D, videoswin.py:354-366)
+        video = jnp.pad(video, [(0, 0), (0, 1), (0, 0), (0, 0), (0, 0)])
+        x = nn.Conv(c.embed_dim, (pt, ph, pw),
+                    strides=(c.time_stride, ph, pw),
                     padding="VALID", dtype=c.dtype, name="patch_embed")(
                         video.astype(c.dtype))
         b, t, h, w, _ = x.shape

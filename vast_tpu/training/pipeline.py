@@ -57,14 +57,17 @@ def build_tokenizer(opts) -> BertTokenizer:
     return tiny_tokenizer()
 
 
-def build_model(opts, dtype=None):
+def build_model(opts, dtype=None, tokenizer=None):
     """Registry lookup + config mapping (utils/build_model.py:19-61)."""
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.bfloat16 if opts.run_cfg.get("bf16") else jnp.float32
     model_cls = model_registry[opts.model_cfg.get("model_type", "vast")]
-    cfg = VASTConfig.from_model_cfg(opts.model_cfg, dtype=dtype)
+    overrides = {}
+    if tokenizer is not None and getattr(tokenizer, "mask_token_id", None):
+        overrides["mask_token_id"] = tokenizer.mask_token_id
+    cfg = VASTConfig.from_model_cfg(opts.model_cfg, dtype=dtype, **overrides)
     return model_cls(cfg)
 
 
