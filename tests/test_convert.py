@@ -155,6 +155,7 @@ def make_beats_torch_sd(cfg, seed=0):
     return {k: v * 0.05 for k, v in sd.items()}
 
 
+@pytest.mark.slow
 def test_beats_conversion_and_pos_conv_weight_norm():
     cfg = TINY_BEATS
     sd_t = make_beats_torch_sd(cfg)
@@ -236,6 +237,7 @@ def make_ast_vast_sd(cfg, seed=0):
     return {k: v * 0.05 for k, v in sd.items()}
 
 
+@pytest.mark.slow
 def test_ast_conversion_structure_and_forward():
     from vast_tpu.convert.vast_ckpt import convert_ast
     from vast_tpu.models.ast import AstConfig, AstModel

@@ -29,6 +29,7 @@ def synth(tmp_path_factory):
     return root, anno, annfile
 
 
+@pytest.mark.slow
 def test_training_ret_cap_end_to_end(synth):
     root, anno, annfile = synth
     cfg_path = make_task_config(root, anno, annfile, task="ret%tva_cap%tva",

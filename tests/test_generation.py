@@ -4,6 +4,7 @@ full-prefix-per-step mask-append decoding (naively re-implemented here)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.helpers import tiny_batch, tiny_vast_config
 from vast_tpu.models.generation import GenerationConfig, generate
@@ -51,6 +52,7 @@ def naive_reference_decode(model, params, cond, gcfg, steps):
     return np.stack(outs, axis=1)
 
 
+@pytest.mark.slow
 def test_greedy_matches_naive_reference():
     model, params, cond = setup_model()
     gcfg = GenerationConfig(max_new_tokens=6, num_beams=1)
@@ -200,6 +202,7 @@ def hf_beam_oracle(model, params, cond, gcfg, steps):
     return out
 
 
+@pytest.mark.slow
 def test_beam_matches_hf_oracle():
     model, params, cond = setup_model()
     for lp in (0.6, 1.0):

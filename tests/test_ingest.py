@@ -102,6 +102,7 @@ def full_sd_cfg():
     return make_full_vast_sd()
 
 
+@pytest.mark.slow
 def test_full_conversion_matches_model_init(full_sd_cfg):
     sd, cfg = full_sd_cfg
     params = convert_vast_checkpoint(sd, cfg)
@@ -176,6 +177,7 @@ def test_pretrain_dir_missing_raises(tmp_path):
         find_pretrain_checkpoint(str(tmp_path / "empty"))
 
 
+@pytest.mark.slow
 def test_checkpoint_file_then_train_step(tmp_path, full_sd_cfg):
     """Finetune-from-pretrain: ingest a released-format .pt and take a
     real optimizer step (the --checkpoint CLI path, run.py)."""

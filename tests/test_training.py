@@ -45,6 +45,7 @@ def build(task="ret%tva", seed=0):
     return model, state, step, batch, labels
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     model, state, step, batch, _ = build("ret%tva_cap%tva")
     rng = jax.random.PRNGKey(0)
@@ -77,6 +78,7 @@ def test_param_group_labels():
     assert not any(p.endswith("scale") for p in groups.get("basic", []))
 
 
+@pytest.mark.slow
 def test_multidevice_matches_single_device():
     """The global-batch loss must be identical when the batch is sharded
     over an 8-device dp mesh (GSPMD inserts the gathers)."""
@@ -136,6 +138,7 @@ def test_saver_removes_previous(tmp_path):
     assert "model_step_2" in names and "model_step_1" not in names
 
 
+@pytest.mark.slow
 def test_tp_sharding_matches_replicated():
     """Megatron-style tensor parallelism over 'tp': loss must match the
     replicated computation bit-for-bit-ish."""
@@ -159,6 +162,7 @@ def test_tp_sharding_matches_replicated():
                                    rtol=2e-4, err_msg=k)
 
 
+@pytest.mark.slow
 def test_fsdp_with_tx_shards_optimizer_state():
     mesh = create_mesh(dp=4, fsdp=2)
     model, state, step, batch, _ = build("ret%tva")
