@@ -30,8 +30,13 @@ import numpy as np
 # Estimated reference throughput: VAST PyTorch inference on one H100,
 # fp16, 8-frame EVA01-g/14 (~283 GFLOPs/frame) + BEATs + BERT with CPU
 # dataloader preprocessing. Computed as ~35% MFU on 990 TFLOP/s peak over
-# ~2.4 TFLOPs/clip ≈ 144 clips/s; the target is >=5x this per chip.
-H100_EST_CLIPS_PER_S = 144.0
+# One clip = 4.382 TFLOP forward (XLA cost_analysis of the jitted infer
+# program: EVA-g over 8x257 tokens dominates at ~4.15; BEATs + BERT +
+# fusion make up the rest).  Round 1 used "2.4 TFLOP/clip", which was a
+# MAC/FLOP confusion (ViT-g/14 is ~260 GMAC = 520 GFLOP per image).
+# H100 estimate: 35% MFU on 990 bf16 TFLOP/s => 346.5 / 4.382 = 79 clips/s.
+TFLOP_PER_CLIP = 4.382
+H100_EST_CLIPS_PER_S = 0.35 * 990.0 / TFLOP_PER_CLIP  # ~79.1
 
 INFER_BATCH = 32  # throughput sweet spot measured in round 1
 TRAIN_BATCH = 8   # fits the single v5e with remat + bf16 Adam moments

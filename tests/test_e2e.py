@@ -47,6 +47,7 @@ def test_training_ret_cap_end_to_end(synth):
     assert results_dirs
 
 
+@pytest.mark.slow
 def test_testing_mode_full_eval(synth, capsys):
     root, anno, annfile = synth
     out2 = os.path.join(root, "output_test")

@@ -74,6 +74,7 @@ def test_beam1_matches_greedy():
     assert (beam >= 0).all() and (beam < 170).all()
 
 
+@pytest.mark.slow
 def test_beam_prefers_higher_logprob_sequence():
     """Beam search must find a sequence with >= total logprob than greedy."""
     model, params, cond = setup_model()

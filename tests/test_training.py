@@ -64,7 +64,19 @@ def test_sched_ratios():
 
 
 def test_param_group_labels():
-    model, state, step, batch, labels = build()
+    # labels depend only on the param tree structure — eval_shape the init
+    # instead of compiling the full multi-head init program
+    cfg = tiny_vast_config()
+    model = VASTModel(cfg)
+    batch = tiny_batch(b=8, with_subtitle=True, with_qa=True)
+    shapes = jax.eval_shape(
+        lambda r: model.init(
+            {"params": r}, batch, "ret%tvas%tvs%tva%tv%ta_cap%tvas_qa%tvas",
+            compute_loss=True, deterministic=True,
+            step_rngs={"mask": jax.random.PRNGKey(2),
+                       "negatives": jax.random.PRNGKey(3)}),
+        jax.random.PRNGKey(0))["params"]
+    labels = param_labels(shapes, (), vision_is_clip=True)
     flat = jax.tree_util.tree_flatten_with_path(labels)[0]
     groups = {}
     for path, lab in flat:
@@ -105,6 +117,7 @@ def test_multidevice_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fsdp_sharding_runs():
     mesh = create_mesh(dp=4, fsdp=2)
     model, state, step, batch, _ = build("ret%tva")

@@ -83,6 +83,7 @@ def test_feature_dag_shares_encoder_passes(model_and_params):
         jaxpr.count("conv_general_dilated"))
 
 
+@pytest.mark.slow
 def test_grads_flow_through_both_encoders(model_and_params):
     model, params = model_and_params
     batch = tiny_batch()
