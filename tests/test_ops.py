@@ -252,3 +252,127 @@ def test_flash_attention_fwd_lse_matches_reference():
     ref_lse = jax.nn.logsumexp(s, axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_lk_true_masks_tail():
+    """Lk sublane-padded (16-mult) with in-kernel tail masking must equal
+    the reference over the true keys, fwd and grads (the zero-glue EVA
+    path and every no-bias wrapper call depend on this)."""
+    b, h, lqp, lkp, d, l_true = 2, 2, 144, 144, 128, 130
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (b, h, lqp, d), jnp.float32)
+    # garbage (not zeros) in the key/value tail — must not leak through
+    k = jax.random.normal(ks[1], (b, h, lkp, d), jnp.float32) * 50
+    v = jax.random.normal(ks[2], (b, h, lkp, d), jnp.float32) * 50
+    out = flash_attention(q, k, v, interpret=True, lk_true=l_true)
+    ref = reference_attention(q, k[:, :, :l_true], v[:, :, :l_true])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flash_attention_prepadded_grads_match_reference():
+    from vast_tpu.ops.attention import flash_attention_prepadded
+
+    b, h, lp, d, l_true = 2, 2, 144, 128, 130
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(ks[0], (b, h, lp, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, lp, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, lp, d), jnp.float32)
+    scale = d ** -0.5
+
+    def loss_pp(q, k, v):
+        out = flash_attention_prepadded(q, k, v, lk_true=l_true, scale=scale,
+                                        interpret=True)
+        # junk query rows are dropped by the caller — mirror that here so
+        # their (well-defined but irrelevant) grads don't enter the loss
+        return (out[:, :, :l_true].astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        out = reference_attention(q[:, :, :l_true] * scale,
+                                  k[:, :, :l_true], v[:, :, :l_true])
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    o_pp = jax.grad(loss_pp, argnums=(0, 1, 2))(q, k, v)
+    o_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g_pp, g_ref in zip(o_pp, o_ref):
+        np.testing.assert_allclose(np.asarray(g_pp[:, :, :l_true]),
+                                   np.asarray(g_ref[:, :, :l_true]),
+                                   atol=2e-4, rtol=1e-3)
+        # grads on the padding tail must be exactly zero
+        np.testing.assert_array_equal(np.asarray(g_pp[:, :, l_true:]), 0.0)
+
+
+def test_eva_token_sliced_matches_plain_path():
+    """The token-sliced EVA attention (fused plain-matmul qkv with baked
+    scale/padding + lane-slice kernel) must reproduce the plain path.
+    token_sliced is static per backend; force it and run the kernels in
+    interpret mode."""
+    import dataclasses as dc
+
+    from tests.helpers import TINY_EVA
+    from vast_tpu.models.eva_vit import EvaAttention
+    from vast_tpu.models import eva_vit as ev
+
+    cfg = dc.replace(TINY_EVA, width=64, head_width=24, layers=1)
+    # 17 tokens -> lp 32; head 24 -> dp 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 17, 64), jnp.float32)
+    mod = EvaAttention(cfg)
+    params = mod.init(jax.random.PRNGKey(1), x)["params"]
+    ref = mod.apply({"params": params}, x)
+
+    orig = ev.jax.default_backend
+    orig_ts = ev.flash_self_attention_tmajor
+    ev.jax.default_backend = lambda: "tpu"
+    try:
+        # the problem is tiny, so bypass the l*l size gate via a config
+        # with a 257-token grid, and run the kernel in interpret mode
+        ev.flash_self_attention_tmajor = (
+            lambda y, h, lk_true, scale: orig_ts(y, h, lk_true, scale, True))
+        mod2 = EvaAttention(dc.replace(cfg, image_size=128, patch_size=8))
+        # 16x16+1=257 patches passes the gate; attention is
+        # length-agnostic, so the same 17-token x drives both paths
+        out = mod2.apply({"params": params}, x)
+    finally:
+        ev.jax.default_backend = orig
+        ev.flash_self_attention_tmajor = orig_ts
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_token_sliced_self_attention_grads_match_reference():
+    """Fwd + VJP of the token-sliced kernel vs a naive fused-qkv reference
+    (garbage in the key/value tail must not leak into values or grads)."""
+    from vast_tpu.ops.attention import flash_self_attention_tmajor
+
+    b, lp, h, dp, hd, l_true = 2, 32, 2, 128, 24, 27
+    y = jax.random.normal(jax.random.PRNGKey(3), (b, lp, 3 * h * dp),
+                          jnp.float32)
+
+    def naive(y):
+        qkv = y.reshape(b, lp, 3, h, dp)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = jnp.swapaxes(q, 1, 2)[:, :, :l_true]
+        k = jnp.swapaxes(k, 1, 2)[:, :, :l_true]
+        v = jnp.swapaxes(v, 1, 2)[:, :, :l_true]
+        out = reference_attention(q, k, v)
+        return jnp.swapaxes(out, 1, 2).reshape(b, l_true, h * dp)
+
+    def loss_ts(y):
+        out = flash_self_attention_tmajor(y, h, l_true, 1.0, True)
+        return (out[:, :l_true].astype(jnp.float32) ** 2).sum()
+
+    def loss_naive(y):
+        return (naive(y).astype(jnp.float32) ** 2).sum()
+
+    o_ts = flash_self_attention_tmajor(y, h, l_true, 1.0, True)
+    np.testing.assert_allclose(np.asarray(o_ts[:, :l_true]),
+                               np.asarray(naive(y)), atol=2e-5, rtol=2e-5)
+    g_ts = jax.grad(loss_ts)(y)
+    g_ref = jax.grad(loss_naive)(y)
+    # grads are O(40) here; fp32 recompute vs autodiff accumulation
+    # differences land at ~1e-5 relative
+    np.testing.assert_allclose(np.asarray(g_ts), np.asarray(g_ref),
+                               atol=2e-3, rtol=1e-3)
+    # padding-tail grads are exactly zero in both
+    np.testing.assert_array_equal(
+        np.asarray(g_ts).reshape(b, lp, 3, h, dp)[:, l_true:], 0.0)

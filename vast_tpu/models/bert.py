@@ -25,8 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
-from vast_tpu.ops.attention import multi_head_attention_hmajor
+from vast_tpu.ops.attention import multi_head_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,9 +49,7 @@ class BertConfig:
         return self.hidden_size // self.num_attention_heads
 
 
-# decode cache pytree: per layer {"k": (B, H, L, D), "v": (B, H, L, D)}
-# (head-major, matching the attention kernels; generation.py only ever
-# indexes the batch axis, so the layout is free to follow the kernels)
+# decode cache pytree: per layer {"k": (B, L, H, D), "v": (B, L, H, D)}
 Cache = list[dict[str, jax.Array]]
 
 
@@ -93,43 +90,51 @@ class BertAttention(nn.Module):
 
     def setup(self):
         c = self.cfg
-        h = c.num_attention_heads
-        self.query = HeadMajorDense(c.hidden_size, h, dtype=c.dtype)
-        self.key = HeadMajorDense(c.hidden_size, h, dtype=c.dtype)
-        self.value = HeadMajorDense(c.hidden_size, h, dtype=c.dtype)
-        self.out = HeadMajorOut(c.hidden_size, dtype=c.dtype)
+        self.query = nn.Dense(c.hidden_size, dtype=c.dtype)
+        self.key = nn.Dense(c.hidden_size, dtype=c.dtype)
+        self.value = nn.Dense(c.hidden_size, dtype=c.dtype)
+        self.out = nn.Dense(c.hidden_size, dtype=c.dtype)
         self.out_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype)
         self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def _heads(self, layer, x):
+        y = layer(x)
+        return y.reshape(*y.shape[:-1], self.cfg.num_attention_heads,
+                         self.cfg.head_dim)
 
     def __call__(self, hidden, kv_source=None, mask=None,
                  deterministic=True, cache=None, cache_index=None,
                  precomputed_kv=None):
-        q = self.query(hidden)                 # (B, H, Lq, D) head-major
+        c = self.cfg
+        b, lq, _ = hidden.shape
+
+        q = self._heads(self.query, hidden)
         if precomputed_kv is not None:
             k, v = precomputed_kv
         else:
             src = hidden if kv_source is None else kv_source
-            k = self.key(src)
-            v = self.value(src)
+            k = self._heads(self.key, src)
+            v = self._heads(self.value, src)
 
         new_cache = None
         if cache is not None:
             # write this step's K/V at [cache_index, cache_index+lq)
             k = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, 0, cache_index, 0))
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
             v = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, 0, cache_index, 0))
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
 
-        out = multi_head_attention_hmajor(q, k, v, mask=mask)
-        out = self.out(out)                    # (B, Lq, hidden)
+        out = multi_head_attention(q, k, v, mask=mask)
+        out = out.reshape(b, lq, c.hidden_size)
+        out = self.out(out)
         out = self.dropout(out, deterministic=deterministic)
         out = self.out_ln(hidden + out)
         return out, new_cache
 
     def project_kv(self, x):
         """Precompute cross K/V for decode (condition feats are static)."""
-        return self.key(x), self.value(x)
+        return self._heads(self.key, x), self._heads(self.value, x)
 
 
 class BertMlp(nn.Module):
@@ -232,7 +237,7 @@ class BertModel(nn.Module):
             else:
                 # decode: query tokens attend over valid cache slots up to
                 # their own position (the fixup must not see the new MASK).
-                l_cache = cache[0]["k"].shape[2]
+                l_cache = cache[0]["k"].shape[1]
                 m = jnp.broadcast_to(cache_mask[:, None, None, :],
                                      (x.shape[0], 1, lq, l_cache)).astype(bool)
                 pos = jnp.arange(l_cache)[None, None, None, :]
@@ -325,8 +330,8 @@ def init_cache(cfg: BertConfig, batch: int, length: int,
                dtype=jnp.float32) -> Cache:
     h, d = cfg.num_attention_heads, cfg.head_dim
     return [
-        {"k": jnp.zeros((batch, h, length, d), dtype),
-         "v": jnp.zeros((batch, h, length, d), dtype)}
+        {"k": jnp.zeros((batch, length, h, d), dtype),
+         "v": jnp.zeros((batch, length, h, d), dtype)}
         for _ in range(cfg.num_hidden_layers)
     ]
 

@@ -27,8 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vast_tpu.models.hmajor import HeadMajorOut, HeadMajorQKV
+from vast_tpu.models.hmajor import (
+    HeadMajorOut,
+    HeadMajorQKV,
+    TokenSlicedOut,
+    TokenSlicedQKV,
+)
 from vast_tpu.ops.attention import (
+    flash_self_attention_tmajor,
     multi_head_attention,
     multi_head_attention_hmajor,
 )
@@ -143,8 +149,28 @@ class EvaAttention(nn.Module):
             self.inner_ln = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype)
             self.proj = nn.Dense(c.width, dtype=c.dtype)
         else:
-            self.qkv = HeadMajorQKV(all_dim, c.num_heads, dtype=c.dtype)
-            self.proj = HeadMajorOut(c.width, dtype=c.dtype)
+            # token-sliced fast path (BENCH_NOTES "attention glue", r2):
+            # q/k/v stay in the (B, L, 3*H*Dp) layout the plain projection
+            # matmul writes (~191 TFLOP/s vs ~85 for the transpose-fused
+            # head-major einsum on v5e) and the Pallas kernel reads each
+            # head as a 128-lane slice — zero layout glue end to end.
+            # Static decision: rope-free (EVA01; rope reorders per-token
+            # between projection and attention), TPU backend, kernel-sized
+            # problem. Param trees are identical either way.
+            l = c.num_patches + 1
+            self.token_sliced = (
+                jax.default_backend() == "tpu" and not c.rope
+                and l * l >= 128 * 128)
+            if self.token_sliced:
+                dp = -(-c.head_width // 128) * 128
+                self.qkv = TokenSlicedQKV(all_dim, c.num_heads, dtype=c.dtype,
+                                          pad_head_dim=dp,
+                                          q_scale=c.head_width ** -0.5)
+                self.proj = TokenSlicedOut(c.width, c.num_heads,
+                                           c.head_width, dtype=c.dtype)
+            else:
+                self.qkv = HeadMajorQKV(all_dim, c.num_heads, dtype=c.dtype)
+                self.proj = HeadMajorOut(c.width, dtype=c.dtype)
         if c.qkv_bias:
             self.q_bias = self.param("q_bias", nn.initializers.zeros, (all_dim,))
             self.v_bias = self.param("v_bias", nn.initializers.zeros, (all_dim,))
@@ -176,7 +202,29 @@ class EvaAttention(nn.Module):
             out = self.inner_ln(out.reshape(b, l, h * d))
             return self.proj(out)
 
-        # head-major fast path (EVA01 and all non-subln variants)
+        # token-sliced fast path (EVA01 and all rope-free variants on TPU)
+        if self.token_sliced:
+            lp = -(-l // 16) * 16
+            if lp != l:
+                # cheap contiguous-minor pad; junk key rows are masked
+                # in-kernel (lk_true), junk query rows sliced at the end
+                x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+            y = self.qkv(x)                     # (B, lp, 3*H*Dp)
+            dp = y.shape[-1] // (3 * h)
+            if c.qkv_bias:
+                # q/k/v bias vector in the fused lane layout: the q
+                # section carries q_bias (pre-scaled, matching the scale
+                # baked into the q weights), k none, v v_bias
+                qb = self.q_bias.reshape(h, d) * jnp.asarray(
+                    d ** -0.5, self.q_bias.dtype)
+                vb = self.v_bias.reshape(h, d)
+                zb = jnp.zeros_like(qb)
+                fused = jnp.stack([qb, zb, vb])            # (3, h, d)
+                fused = jnp.pad(fused, [(0, 0), (0, 0), (0, dp - d)])
+                y = y + fused.reshape(1, 1, 3 * h * dp).astype(y.dtype)
+            out = flash_self_attention_tmajor(y, h, l if lp != l else 0,
+                                              1.0)
+            return self.proj(out)[:, :l]
         q, k, v = self.qkv(x)
         if c.qkv_bias:
             q = q + self.q_bias.reshape(1, h, 1, d).astype(q.dtype)

@@ -41,12 +41,20 @@ class HeadMajorDense(nn.Module):
 
 class HeadMajorQKV(nn.Module):
     """Fused qkv projection -> three head-major (B, H, L, Dh) tensors;
-    params match ``nn.Dense(3*all_dim, use_bias=False)``."""
+    params match ``nn.Dense(3*all_dim, use_bias=False)``.
+
+    ``pad_head_dim`` > Dh zero-pads the reshaped kernel's head-dim axis so
+    q/k/v come out of the matmul already lane-aligned (B, H, L, Dp) —
+    XLA's minor-dim pad of the activations runs at ~20% of HBM bandwidth,
+    while padding the (small) weights is free and the matmul epilogue
+    writes the aligned layout directly (see BENCH_NOTES.md, attention
+    glue)."""
 
     all_dim: int
     heads: int
     use_bias: bool = False
     dtype: Any = jnp.float32
+    pad_head_dim: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -55,6 +63,9 @@ class HeadMajorQKV(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (w, 3 * self.all_dim))
         k3 = kernel.reshape(w, 3, self.heads, hd).astype(self.dtype)
+        dp = max(self.pad_head_dim, hd)
+        if dp > hd:
+            k3 = jnp.pad(k3, [(0, 0), (0, 0), (0, 0), (0, dp - hd)])
         x = x.astype(self.dtype)
         q = jnp.einsum("blw,whd->bhld", x, k3[:, 0])
         k = jnp.einsum("blw,whd->bhld", x, k3[:, 1])
@@ -63,23 +74,104 @@ class HeadMajorQKV(nn.Module):
             bias = self.param("bias", nn.initializers.zeros,
                               (3 * self.all_dim,))
             b3 = bias.reshape(1, 3, self.heads, 1, hd).astype(self.dtype)
+            if dp > hd:
+                b3 = jnp.pad(b3, [(0, 0)] * 4 + [(0, dp - hd)])
             q, k, v = q + b3[:, 0], k + b3[:, 1], v + b3[:, 2]
         return q, k, v
 
 
 class HeadMajorOut(nn.Module):
     """Output projection over head-major (B, H, L, Dh) -> (B, L, features);
-    params match ``nn.Dense(features)``."""
+    params match ``nn.Dense(features)``.
+
+    ``head_dim`` (when set) is the TRUE per-head width; a wider input's
+    extra lanes (tile padding from the attention kernel) are consumed by
+    zero rows padded into the reshaped kernel — the contraction ignores
+    them, so no HBM slice is needed before the projection."""
 
     features: int
     dtype: Any = jnp.float32
+    head_dim: int = 0
 
     @nn.compact
     def __call__(self, o):
-        _, h, _, hd = o.shape
+        _, h, _, dp = o.shape
+        hd = self.head_dim or dp
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (h * hd, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         k3 = kernel.reshape(h, hd, self.features).astype(self.dtype)
+        if dp > hd:
+            k3 = jnp.pad(k3, [(0, 0), (0, dp - hd), (0, 0)])
         return (jnp.einsum("bhld,hdw->blw", o.astype(self.dtype), k3)
+                + bias.astype(self.dtype))
+
+
+class TokenSlicedQKV(nn.Module):
+    """Fused qkv projection for the token-sliced attention kernel: ONE
+    plain (B*L, W) x (W, 3*H*Dp) matmul emitting (B, L, 3*H*Dp) with each
+    head a lane-aligned 128-wide slice. Params match
+    ``nn.Dense(3*all_dim, use_bias=False)`` exactly (kernel (W, 3*all_dim)
+    [+ bias]); head-dim padding and the query scale are baked into the
+    reshaped weights at trace time, so the matmul runs at full speed
+    (plain ~191 vs transpose-fused head-major ~85 TFLOP/s on v5e — see
+    BENCH_NOTES round 2) and attention needs zero layout glue."""
+
+    all_dim: int
+    heads: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    pad_head_dim: int = 0
+    q_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = x.shape[-1]
+        hd = self.all_dim // self.heads
+        dp = max(self.pad_head_dim, hd)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (w, 3 * self.all_dim))
+        k4 = kernel.reshape(w, 3, self.heads, hd).astype(self.dtype)
+        if self.q_scale != 1.0:
+            scale = jnp.asarray(self.q_scale, self.dtype)
+            k4 = jnp.concatenate([k4[:, :1] * scale, k4[:, 1:]], axis=1)
+        if dp > hd:
+            k4 = jnp.pad(k4, [(0, 0), (0, 0), (0, 0), (0, dp - hd)])
+        y = x.astype(self.dtype) @ k4.reshape(w, 3 * self.heads * dp)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (3 * self.all_dim,))
+            b4 = bias.reshape(1, 3, self.heads, hd).astype(self.dtype)
+            if self.q_scale != 1.0:
+                b4 = jnp.concatenate(
+                    [b4[:, :1] * jnp.asarray(self.q_scale, self.dtype),
+                     b4[:, 1:]], axis=1)
+            if dp > hd:
+                b4 = jnp.pad(b4, [(0, 0)] * 3 + [(0, dp - hd)])
+            y = y + b4.reshape(1, 1, 3 * self.heads * dp)
+        return y
+
+
+class TokenSlicedOut(nn.Module):
+    """Output projection consuming the token-sliced attention output
+    (B, L, H*Dp): a plain matmul whose reshaped kernel carries zero rows
+    for the Dp tile-padding lanes. Params match ``nn.Dense(features)``."""
+
+    features: int
+    heads: int
+    head_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, o):
+        dp = o.shape[-1] // self.heads
+        hd = self.head_dim
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.heads * hd, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k3 = kernel.reshape(self.heads, hd, self.features).astype(self.dtype)
+        if dp > hd:
+            k3 = jnp.pad(k3, [(0, 0), (0, dp - hd), (0, 0)])
+        return (o.astype(self.dtype) @ k3.reshape(self.heads * dp,
+                                                  self.features)
                 + bias.astype(self.dtype))

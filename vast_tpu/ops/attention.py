@@ -61,31 +61,33 @@ def reference_attention(q, k, v, bias=None):
 # learned additive biases (BEATs gated rel-pos, Swin rel-pos tables) need
 # ds reduced over their broadcast axes; boolean masks (BERT padding /
 # causal) are non-differentiable, so their cotangent is symbolic zeros and
-# ds is never materialized.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_fwd(qh, kh, vh, add_bias, bias_grad, interpret):
-    return flash_attention(qh, kh, vh, add_bias, interpret=interpret)
+# ds is never materialized. ``lk_true`` (static) marks Lk tile padding
+# masked in-kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_fwd(qh, kh, vh, add_bias, bias_grad, interpret, lk_true=0):
+    return flash_attention(qh, kh, vh, add_bias, interpret=interpret,
+                           lk_true=lk_true)
 
 
-def _flash_fwd_fwd(qh, kh, vh, add_bias, bias_grad, interpret):
+def _flash_fwd_fwd(qh, kh, vh, add_bias, bias_grad, interpret, lk_true=0):
     out, lse = flash_attention(qh, kh, vh, add_bias, interpret=interpret,
-                               return_lse=True)
+                               return_lse=True, lk_true=lk_true)
     return out, (qh, kh, vh, add_bias, out, lse)
 
 
-def _flash_fwd_bwd(bias_grad, interpret, residuals, g):
+def _flash_fwd_bwd(bias_grad, interpret, lk_true, residuals, g):
     qh, kh, vh, add_bias, out, lse = residuals
     g = g.astype(qh.dtype)
     if bias_grad and add_bias is not None:
         dq, dk, dv, ds = flash_attention_bwd(
             qh, kh, vh, add_bias, out, lse, g, interpret=interpret,
-            return_dbias=True)
+            return_dbias=True, lk_true=lk_true)
         reduce_axes = tuple(
             i for i in (0, 1) if add_bias.shape[i] == 1 and ds.shape[i] != 1)
         dbias = ds.sum(axis=reduce_axes, keepdims=True) if reduce_axes else ds
         return dq, dk, dv, dbias.astype(add_bias.dtype)
     dq, dk, dv = flash_attention_bwd(qh, kh, vh, add_bias, out, lse, g,
-                                     interpret=interpret)
+                                     interpret=interpret, lk_true=lk_true)
     dbias = None if add_bias is None else jnp.zeros_like(add_bias)
     return dq, dk, dv, dbias
 
@@ -93,15 +95,61 @@ def _flash_fwd_bwd(bias_grad, interpret, residuals, g):
 _flash_fwd.defvjp(_flash_fwd_fwd, _flash_fwd_bwd)
 
 
-def _use_pallas_shapes(b, lq, lk, h, d) -> bool:
+# Token-sliced self-attention VJP: one fused (B, Lp, 3*H*Dp) operand in,
+# (B, Lp, H*Dp) out, gradients in the same fused layout. The backward
+# kernel recomputes softmax and delta in-kernel, so the only residuals
+# are the operand and the output — both already materialized.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def flash_self_attention_tmajor(qkv, heads, lk_true, scale,
+                                interpret=False):
+    from vast_tpu.ops.flash_attention import self_attention_tmajor
+    return self_attention_tmajor(qkv, heads=heads, lk_true=lk_true,
+                                 scale=scale, interpret=interpret)
+
+
+def _tmajor_fwd(qkv, heads, lk_true, scale, interpret=False):
+    out = flash_self_attention_tmajor(qkv, heads, lk_true, scale, interpret)
+    return out, (qkv, out)
+
+
+def _tmajor_bwd(heads, lk_true, scale, interpret, residuals, g):
+    from vast_tpu.ops.flash_attention import self_attention_tmajor_bwd
+    qkv, out = residuals
+    dqkv = self_attention_tmajor_bwd(qkv, out, g.astype(qkv.dtype),
+                                     heads=heads, lk_true=lk_true,
+                                     scale=scale, interpret=interpret)
+    return (dqkv,)
+
+
+flash_self_attention_tmajor.defvjp(_tmajor_fwd, _tmajor_bwd)
+
+
+def flash_attention_prepadded(q, k, v, *, lk_true: int, scale,
+                              interpret: bool = False):
+    """Zero-glue entry for callers whose projections already emit
+    tile-padded head-major q/k/v — q (B, H, Lqp, Dp), k/v (B, H, Lkp, Dp)
+    with Dp a lane (128) multiple, Lqp/Lkp sublane (16) multiples and
+    ``lk_true`` real keys. Returns the PADDED (B, H, Lqp, Dp) output (junk
+    query rows beyond the caller's true Lq are the caller's to drop); key
+    tile padding is masked in-kernel, so no bias array, no pads, and no
+    slices touch HBM here. See models/eva_vit.py for the emit-padded
+    pattern (replaces the reference's xformers call, eva_vit_model.py:330).
+    """
+    return _flash_fwd(q * jnp.asarray(scale, q.dtype), k, v, None, False,
+                      interpret, lk_true)
+
+
+def _use_pallas_shapes(b, lq, lk, h, d, has_bias=True) -> bool:
     if jax.default_backend() != "tpu":
         return False
     if lq * lk < 128 * 128:
         # tiny problems: XLA fusion wins over kernel launch overhead
         return False
     # when tile padding inflates the kernel's compute too much (very short
-    # queries/keys or tiny head dims), XLA wins
-    waste = (_pad_len_q(lq) / lq) * (_round_up(lk, 128) / lk) \
+    # queries/keys or tiny head dims), XLA wins. Without a bias array Lk
+    # only pads to sublane granularity (masked in-kernel via lk_true).
+    lk_gran = 16 if (not has_bias and lk <= 4096) else 128
+    waste = (_pad_len_q(lq) / lq) * (_round_up(lk, lk_gran) / lk) \
         * (_round_up(d, 128) / d)
     return waste <= 2.5
 
@@ -133,21 +181,27 @@ def multi_head_attention_hmajor(q, k, v, *, bias=None, mask=None, scale=None,
     add_bias = _prepare_bias(bias, mask)
 
     use_pallas = impl == "pallas" or (
-        impl == "auto" and _use_pallas_shapes(b, lq, lk, h, d))
+        impl == "auto" and _use_pallas_shapes(b, lq, lk, h, d,
+                                              add_bias is not None))
     if not use_pallas:
         out = reference_attention(q * jnp.asarray(scale, q.dtype), k, v,
                                   add_bias)
         return out.astype(q.dtype)
 
-    # pad to hardware tiles: D -> 128 lanes, Lk -> 128 lanes (it is the
-    # lane axis of the score tile), Lq -> sublane granularity
+    # pad to hardware tiles: D -> 128 lanes, Lq -> sublane granularity.
+    # Lk is the lane axis only of the in-register score tile: without a
+    # bias array it needs just sublane (16) granularity and the tile tail
+    # is masked in-kernel (lk_true); with a bias array the bias block's
+    # own lane axis is Lk, so it must be a 128 multiple.
     dp = _round_up(d, 128)
     lqp = _pad_len_q(lq)
-    lkp = _round_up(lk, 128)
-
-    if add_bias is None and lk != lkp:
-        add_bias = jnp.zeros((1, 1, lq, lk), jnp.float32)
-    if add_bias is not None:
+    lk_true = 0
+    if add_bias is None:
+        lkp = _round_up(lk, 16 if lk <= 4096 else 128)
+        if lkp != lk:
+            lk_true = lk
+    else:
+        lkp = _round_up(lk, 128)
         add_bias = jnp.broadcast_to(
             add_bias, (add_bias.shape[0], add_bias.shape[1], lq, lk))
         add_bias = jnp.pad(
@@ -161,7 +215,7 @@ def multi_head_attention_hmajor(q, k, v, *, bias=None, mask=None, scale=None,
     pad_k = [(0, 0), (0, 0), (0, lkp - lk), (0, dp - d)]
     out = _flash_fwd(jnp.pad(qs, pad_q), jnp.pad(k, pad_k),
                      jnp.pad(v, pad_k), add_bias, bias is not None,
-                     interpret)
+                     interpret, lk_true)
     return out[:, :, :lq, :d].astype(q.dtype)
 
 

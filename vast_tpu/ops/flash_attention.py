@@ -43,13 +43,16 @@ def _pick_block(l: int, target: int) -> int:
 
 
 def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                   has_bias: bool, bias4: bool = False):
+                   has_bias: bool, bias4: bool = False, lk_true: int = 0):
     """Whole-KV softmax for a (G, bq, d) query block; G batched (B*H)
     problems per grid step amortize per-step pipeline overhead.
 
     ``bias4`` selects a per-problem bias block (1, G, bq, lk) instead of a
     shared (1, bq, lk) one. ``lse_ref`` may be None (inference) or a
     (G, bq, 1) fp32 block receiving logsumexp rows for the backward.
+    ``lk_true`` > 0 masks key columns >= lk_true in-kernel (cheaper than
+    materializing a -inf bias in HBM just for tile padding, and it lets
+    Lk stay at sublane (16) granularity instead of lane (128)).
     """
     q = q_ref[...]  # (G, bq, d)
     k = k_ref[...]  # (G, lk, d)
@@ -59,6 +62,9 @@ def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         preferred_element_type=jnp.float32)  # (G, bq, lk)
     if has_bias:
         s = s + (bias_ref[0] if bias4 else bias_ref[...]).astype(jnp.float32)
+    if lk_true:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < lk_true, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -72,13 +78,15 @@ def _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
 
 
 def _single_kernel_nolse(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
-                         has_bias: bool, bias4: bool = False):
+                         has_bias: bool, bias4: bool = False,
+                         lk_true: int = 0):
     _single_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None,
-                   has_bias=has_bias, bias4=bias4)
+                   has_bias=has_bias, bias4=bias4, lk_true=lk_true)
 
 
 def _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr,
-                   l_scr, acc_scr, *, nk: int, has_bias: bool):
+                   l_scr, acc_scr, *, nk: int, has_bias: bool,
+                   lk_true: int = 0, block_k: int = 0):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -94,6 +102,9 @@ def _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
+    if lk_true:
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < lk_true, s, NEG_INF)
 
     m_prev = m_scr[:]
     l_prev = l_scr[:]
@@ -117,9 +128,11 @@ def _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr,
 
 
 def _looped_kernel_nolse(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr,
-                         acc_scr, *, nk: int, has_bias: bool):
+                         acc_scr, *, nk: int, has_bias: bool,
+                         lk_true: int = 0, block_k: int = 0):
     _looped_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None, m_scr, l_scr,
-                   acc_scr, nk=nk, has_bias=has_bias)
+                   acc_scr, nk=nk, has_bias=has_bias, lk_true=lk_true,
+                   block_k=block_k)
 
 
 def _flatten_bias(bias, b, h, lq, lk):
@@ -132,16 +145,22 @@ def _flatten_bias(bias, b, h, lq, lk):
 
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret",
-                                    "return_lse"))
+                                    "return_lse", "lk_true"))
 def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
                     block_k: int = 1024, interpret: bool = False,
-                    return_lse: bool = False):
+                    return_lse: bool = False, lk_true: int = 0):
     """Tiled attention; q/k/v already scaled and tile-padded.
 
     q: (B, H, Lq, D); k, v: (B, H, Lk, D); bias: (Bb, Hb, Lq, Lk) with
     Bb in {1, B}, Hb in {1, H}; returns (B, H, Lq, D) in q.dtype, plus the
     per-row logsumexp (B, H, Lq, 1) fp32 when ``return_lse`` (residual for
     :func:`flash_attention_bwd`).
+
+    ``lk_true`` > 0 marks keys >= lk_true as padding, masked in-kernel via
+    an iota compare — no -inf bias array needed, and Lk only has to be a
+    sublane (16) multiple rather than a lane (128) multiple in the
+    single-block regime (K/V's lane axis is D; Lk surfaces as the lane
+    axis only on the in-register score tile, which Mosaic pads for free).
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -179,22 +198,24 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
             pl.BlockSpec((g, lk, d), lambda ibh, iq: (ibh, 0, 0)),
         ]
         base = _single_kernel if return_lse else _single_kernel_nolse
+        ltk = lk_true if 0 < lk_true < lk else 0
         if bias_per_bh:
             in_specs.append(pl.BlockSpec(
                 (1, g, block_q, lk), lambda ibh, iq: (ibh, 0, iq, 0)))
             args = (qf, kf, vf, bias)
-            kernel = functools.partial(base, has_bias=True, bias4=True)
+            kernel = functools.partial(base, has_bias=True, bias4=True,
+                                       lk_true=ltk)
         elif has_bias:
             # shared bias broadcasts over the G problems in a step
             in_specs.append(pl.BlockSpec(
                 (1, block_q, lk), lambda ibh, iq: (0, iq, 0)))
             args = (qf, kf, vf, bias)
-            kernel = functools.partial(base, has_bias=True)
+            kernel = functools.partial(base, has_bias=True, lk_true=ltk)
         else:
             in_specs.append(pl.BlockSpec(
                 (1, 1, 1), lambda ibh, iq: (0, 0, 0)))
             args = (qf, kf, vf, jnp.zeros((1, 1, 1), jnp.float32))
-            kernel = functools.partial(base, has_bias=False)
+            kernel = functools.partial(base, has_bias=False, lk_true=ltk)
         out_specs = pl.BlockSpec((g, block_q, d), lambda ibh, iq: (ibh, iq, 0))
         out_shape = jax.ShapeDtypeStruct((bh, lq, d), q.dtype)
         if return_lse:
@@ -238,6 +259,8 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
             (1, 1, 1), lambda ibh, iq, ik: (0, 0, 0)))
         args = (qf, kf, vf, jnp.zeros((1, 1, 1), jnp.float32))
     base = _looped_kernel if return_lse else _looped_kernel_nolse
+    base = functools.partial(base, lk_true=lk_true if 0 < lk_true < lk else 0,
+                             block_k=block_k)
     out_specs = pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0))
     out_shape = jax.ShapeDtypeStruct((bh, lq, d), q.dtype)
     if return_lse:
@@ -290,7 +313,7 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
 
 def _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                       bias_ref, dq_ref, dk_ref, dv_ref, ds_ref, *,
-                      has_bias: bool, bias4: bool = False):
+                      has_bias: bool, bias4: bool = False, lk_true: int = 0):
     """Single-pass backward for problems whose whole (Lq, Lk) score tile
     fits VMEM (every VAST encoder: EVA 272/384, BEATs 512, BERT <=80): s
     is recomputed ONCE and dq/dk/dv all come off it — 5 MXU ops instead of
@@ -307,6 +330,9 @@ def _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         preferred_element_type=jnp.float32)   # (G, lq, lk)
     if has_bias:
         s = s + (bias_ref[0] if bias4 else bias_ref[...]).astype(jnp.float32)
+    if lk_true:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < lk_true, s, NEG_INF)
     p = jnp.exp(s - lse)
     dv = jax.lax.dot_general(
         p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
@@ -329,15 +355,16 @@ def _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
 
 def _bwd_fused_kernel_nods(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                            bias_ref, dq_ref, dk_ref, dv_ref, *,
-                           has_bias: bool, bias4: bool = False):
+                           has_bias: bool, bias4: bool = False,
+                           lk_true: int = 0):
     _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                       bias_ref, dq_ref, dk_ref, dv_ref, None,
-                      has_bias=has_bias, bias4=bias4)
+                      has_bias=has_bias, bias4=bias4, lk_true=lk_true)
 
 
 def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                     bias_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, nq: int,
-                    has_bias: bool):
+                    has_bias: bool, lk_true: int = 0, block_k: int = 0):
     iq = pl.program_id(2)
 
     @pl.when(iq == 0)
@@ -355,6 +382,10 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
+    if lk_true:
+        col = (pl.program_id(1) * block_k
+               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+        s = jnp.where(col < lk_true, s, NEG_INF)
     p = jnp.exp(s - lse)  # (bq, bk)
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -373,7 +404,8 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
 
 
 def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, bias_ref,
-                   dq_ref, ds_ref, dq_acc, *, nk: int, has_bias: bool):
+                   dq_ref, ds_ref, dq_acc, *, nk: int, has_bias: bool,
+                   lk_true: int = 0, block_k: int = 0):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -390,6 +422,10 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, bias_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
+    if lk_true:
+        col = (pl.program_id(2) * block_k
+               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+        s = jnp.where(col < lk_true, s, NEG_INF)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -406,17 +442,19 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, bias_ref,
 
 
 def _bwd_dq_kernel_nods(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-                        bias_ref, dq_ref, dq_acc, *, nk: int, has_bias: bool):
+                        bias_ref, dq_ref, dq_acc, *, nk: int, has_bias: bool,
+                        lk_true: int = 0, block_k: int = 0):
     _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, bias_ref,
-                   dq_ref, None, dq_acc, nk=nk, has_bias=has_bias)
+                   dq_ref, None, dq_acc, nk=nk, has_bias=has_bias,
+                   lk_true=lk_true, block_k=block_k)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret",
-                                    "return_dbias"))
+                                    "return_dbias", "lk_true"))
 def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
                         block_k: int = 512, interpret: bool = False,
-                        return_dbias: bool = False):
+                        return_dbias: bool = False, lk_true: int = 0):
     """Gradients of :func:`flash_attention` w.r.t. q, k, v (and the raw
     per-(b,h) ds when ``return_dbias`` — the caller reduces it over the
     bias's broadcast axes).
@@ -472,7 +510,8 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
             in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)))
         base = _bwd_fused_kernel if return_dbias else _bwd_fused_kernel_nods
         kernel = functools.partial(base, has_bias=has_bias,
-                                   bias4=bias_per_bh)
+                                   bias4=bias_per_bh,
+                                   lk_true=lk_true if 0 < lk_true < lk else 0)
         out_specs = [
             pl.BlockSpec((g, lq, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0)),
@@ -527,8 +566,10 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
         pl.BlockSpec((1, block_k, d), lambda ibh, ik, iq: (ibh, ik, 0)),
         bias_spec(lambda ibh, ik, iq: (ibh, iq, ik)),
     ]
+    ltk = lk_true if 0 < lk_true < lk else 0
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, nq=nq, has_bias=has_bias),
+        functools.partial(_bwd_dkv_kernel, nq=nq, has_bias=has_bias,
+                          lk_true=ltk, block_k=block_k),
         grid=(bh, nk, nq),
         in_specs=dkv_specs,
         out_specs=[
@@ -563,7 +604,8 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
     dq_out_shape = jax.ShapeDtypeStruct((bh, lq, d), q.dtype)
     if return_dbias:
         out = pl.pallas_call(
-            functools.partial(_bwd_dq_kernel, nk=nk, has_bias=has_bias),
+            functools.partial(_bwd_dq_kernel, nk=nk, has_bias=has_bias,
+                              lk_true=ltk, block_k=block_k),
             grid=(bh, nq, nk),
             in_specs=dq_specs,
             out_specs=[dq_out_spec, pl.BlockSpec(
@@ -579,7 +621,8 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
         return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
                 dv.reshape(b, h, lk, d), ds.reshape(b, h, lq, lk))
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_nods, nk=nk, has_bias=has_bias),
+        functools.partial(_bwd_dq_kernel_nods, nk=nk, has_bias=has_bias,
+                          lk_true=ltk, block_k=block_k),
         grid=(bh, nq, nk),
         in_specs=dq_specs,
         out_specs=dq_out_spec,
@@ -591,3 +634,157 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
     )(qf, dof, lsef, delta, kf, vf, biasf)
     return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
             dv.reshape(b, h, lk, d))
+
+
+# ---------------------------------------------------------------------------
+# Token-major self-attention ("token-sliced"): q/k/v stay in the layout the
+# projection matmul naturally writes — (B, Lp, H*Dp) with each head a
+# 128-lane slice — and the grid's head axis selects the slice via the
+# BlockSpec index map. Rationale (BENCH_NOTES "attention glue", round 2):
+# a plain (BL, W) x (W, 3HDp) matmul sustains ~191 TFLOP/s on v5e while
+# the transpose-fused head-major einsum ('blw,whd->bhld') drops to
+# ~85 TFLOP/s — the strided head-major write pattern halves the matmul.
+# Reading per-head lane slices costs nothing, so attention runs with ZERO
+# layout glue end to end and the projections run at full matmul speed.
+# Replaces the head-major EVA path; the reference hot path being replaced
+# is still xformers memory_efficient_attention (eva_vit_model.py:330).
+#
+# The backward is self-contained: for single-block problems the whole
+# softmax row is in VMEM, so lse and delta are recomputed in-kernel and
+# the only residuals are (q, k, v, out) — tensors the forward already
+# materialized.
+# ---------------------------------------------------------------------------
+
+
+def _tmajor_g(lp, dp, dtype_size, tensors, scores, batch):
+    """Largest G in (8,4,2,1) dividing ``batch`` whose VMEM footprint
+    (``tensors`` L x D blocks + ``scores`` fp32 L x L tiles) fits."""
+    per_g = tensors * lp * dp * dtype_size + scores * lp * lp * 4
+    for cand in (8, 4, 2):
+        if batch % cand == 0 and cand * per_g <= 13 * 2 ** 20:
+            return cand
+    return 1
+
+
+def _tmajor_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, lk_true: int,
+                       scale: float):
+    q = q_ref[...]                                # (G, Lp, Dp)
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (G, Lp, Lp)
+    if scale != 1.0:
+        s = s * scale
+    if lk_true:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < lk_true, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _tmajor_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref,
+                       dv_ref, *, lk_true: int, scale: float):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    if lk_true:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < lk_true, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l                                     # (G, Lp, Lp) fp32
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+    dv_ref[...] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                         # d(loss)/d(s*scale)... s
+    dsc = ds.astype(q.dtype)
+    dk_ref[...] = (jax.lax.dot_general(
+        dsc, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+    dq_ref[...] = (jax.lax.dot_general(
+        dsc, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+
+
+def _tmajor_specs(heads, lp, dp, g, offsets):
+    """BlockSpecs slicing head ih's 128-lane block out of (B, Lp, H*Dp)
+    operands; ``offsets`` gives each operand's lane-block base (0 for a
+    dedicated array; h*i for the i-th section of a fused qkv array)."""
+    return [
+        pl.BlockSpec((g, lp, dp),
+                     functools.partial(
+                         lambda off, ib, ih: (ib, 0, off + ih), off))
+        for off in offsets
+    ]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "lk_true", "scale", "interpret"))
+def self_attention_tmajor(qkv, *, heads: int, lk_true: int = 0,
+                          scale: float = 1.0, interpret: bool = False):
+    """Self-attention over a fused token-major qkv tensor.
+
+    qkv: (B, Lp, 3*H*Dp) — the raw output of one projection matmul, laid
+    out [q heads | k heads | v heads], each head Dp (lane-multiple) wide,
+    Lp a sublane multiple. Returns (B, Lp, H*Dp). ``lk_true`` masks key
+    tile padding in-kernel; ``scale`` is applied to the scores (fp32).
+    """
+    b, lp, total = qkv.shape
+    dp = (total // 3) // heads
+    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 4, 2, b)
+    specs = _tmajor_specs(heads, lp, dp, g, (0, heads, 2 * heads))
+    return pl.pallas_call(
+        functools.partial(_tmajor_fwd_kernel, lk_true=lk_true, scale=scale),
+        grid=(b // g, heads),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+        out_shape=jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "lk_true", "scale", "interpret"))
+def self_attention_tmajor_bwd(qkv, o, do, *, heads: int, lk_true: int = 0,
+                              scale: float = 1.0, interpret: bool = False):
+    """Gradient w.r.t. the fused qkv tensor: returns d(qkv) with the same
+    (B, Lp, 3*H*Dp) layout (dq | dk | dv sections), recomputing the
+    softmax and delta in-kernel from (qkv, o, do)."""
+    b, lp, total = qkv.shape
+    dp = (total // 3) // heads
+    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 8, 4, b)
+    in_specs = _tmajor_specs(heads, lp, dp, g, (0, heads, 2 * heads))
+    in_specs += _tmajor_specs(heads, lp, dp, g, (0, 0))
+    out_specs = _tmajor_specs(heads, lp, dp, g, (0, 0, 0))
+    shape = jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_tmajor_bwd_kernel, lk_true=lk_true, scale=scale),
+        grid=(b // g, heads),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[shape, shape, shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qkv, qkv, qkv, o, do)
+    # back to the fused layout; XLA splits the consuming dots over the
+    # concat operands, so this is section bookkeeping, not a real pass
+    return jnp.concatenate([dq, dk, dv], axis=-1)
