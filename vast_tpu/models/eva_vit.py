@@ -60,15 +60,21 @@ class EvaVitConfig:
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
     remat: bool = False
-    # exact erf GELU (torch nn.GELU parity) is the default AND the fast
-    # path on TPU: XLA's bf16 erf lowering beats the tanh approximation
-    # (measured 25.6 vs 21.6 clips/s end-to-end on v5e). The flag stays
-    # for experiments; tanh output differs from erf by less than bf16
-    # rounding (see tests).
+    # None (default): exact erf GELU (torch nn.GELU parity) in fp32;
+    # tanh-approx in bf16. Round-2 measurement at the token-major MLP
+    # shapes: tanh fuses completely into the matmul epilogue (6.34 vs
+    # 6.36 ms plain) while erf costs a separate +3.2 ms pass per matmul —
+    # round 1 concluded the opposite end-to-end, but that was an artifact
+    # of the head-major path it measured through. tanh-vs-erf output
+    # differs by less than bf16 rounding (tested), so bf16 defaults to
+    # tanh; fp32 (parity/eval paths) stays exact. Explicit True/False
+    # overrides either way.
     gelu_approx: bool | None = None
 
     @property
     def use_gelu_tanh(self) -> bool:
+        if self.gelu_approx is None:
+            return self.dtype == jnp.bfloat16
         return bool(self.gelu_approx)
 
     @property
