@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
+from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention_hmajor
 
 
@@ -55,7 +56,7 @@ class AstLayer(nn.Module):
         x = x + HeadMajorOut(c.hidden_size, dtype=c.dtype, name="proj")(a)
         y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln2")(x)
         y = nn.Dense(c.intermediate_size, dtype=c.dtype, name="fc1")(y)
-        y = jax.nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(c.hidden_size, dtype=c.dtype, name="fc2")(y)
         return x + y
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
+from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention_hmajor
 
 
@@ -160,13 +161,12 @@ class BeatsLayer(nn.Module):
             y, position_bias = self.self_attn(self.self_attn_layer_norm(x),
                                               position_bias)
             x = x + y
-            y = self.fc2(jax.nn.gelu(self.fc1(self.final_layer_norm(x)),
-                                     approximate=False))
+            y = self.fc2(gelu(self.fc1(self.final_layer_norm(x))))
             x = x + y
         else:
             y, position_bias = self.self_attn(x, position_bias)
             x = self.self_attn_layer_norm(x * self.deep_norm_alpha + y)
-            y = self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
+            y = self.fc2(gelu(self.fc1(x)))
             x = self.final_layer_norm(x * self.deep_norm_alpha + y)
         return x, position_bias
 
@@ -211,7 +211,7 @@ class BeatsEncoder(nn.Module):
         y = y + self.pos_conv_bias.astype(y.dtype)
         if c.conv_pos % 2 == 0:
             y = y[:, :-1]  # SamePad trims one for even kernels
-        return jax.nn.gelu(y, approximate=False)
+        return gelu(y)
 
     def __call__(self, x, deterministic=True):
         c = self.cfg

@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention
 
 
@@ -144,7 +145,7 @@ class BertMlp(nn.Module):
     def __call__(self, hidden, deterministic=True):
         c = self.cfg
         x = nn.Dense(c.intermediate_size, dtype=c.dtype, name="intermediate")(hidden)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(c.hidden_size, dtype=c.dtype, name="output")(x)
         x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln",
@@ -285,7 +286,7 @@ class BertMLMHead(nn.Module):
     def __call__(self, hidden):
         c = self.cfg
         x = nn.Dense(c.hidden_size, dtype=c.dtype, name="transform")(hidden)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="transform_ln",
                             dtype=c.dtype)(x)
 

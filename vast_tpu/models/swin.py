@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention
 
 
@@ -153,7 +154,7 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * c.mlp_ratio), dtype=c.dtype,
                      name="fc1")(y)
-        y = jax.nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(self.dim, dtype=c.dtype, name="fc2")(y)
         return x + y
 
