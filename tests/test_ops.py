@@ -349,8 +349,8 @@ def test_token_sliced_self_attention_grads_match_reference():
                           jnp.float32)
 
     def naive(y):
-        qkv = y.reshape(b, lp, 3, h, dp)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qkv = y.reshape(b, lp, h, 3, dp)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
         q = jnp.swapaxes(q, 1, 2)[:, :, :l_true]
         k = jnp.swapaxes(k, 1, 2)[:, :, :l_true]
         v = jnp.swapaxes(v, 1, 2)[:, :, :l_true]
@@ -375,4 +375,4 @@ def test_token_sliced_self_attention_grads_match_reference():
                                atol=2e-3, rtol=1e-3)
     # padding-tail grads are exactly zero in both
     np.testing.assert_array_equal(
-        np.asarray(g_ts).reshape(b, lp, 3, h, dp)[:, l_true:], 0.0)
+        np.asarray(g_ts).reshape(b, lp, h, 3, dp)[:, l_true:], 0.0)

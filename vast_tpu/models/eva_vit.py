@@ -215,19 +215,19 @@ class EvaAttention(nn.Module):
                 # cheap contiguous-minor pad; junk key rows are masked
                 # in-kernel (lk_true), junk query rows sliced at the end
                 x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
-            y = self.qkv(x)                     # (B, lp, 3*H*Dp)
+            y = self.qkv(x)                     # (B, lp, H*3*Dp)
             dp = y.shape[-1] // (3 * h)
             if c.qkv_bias:
-                # q/k/v bias vector in the fused lane layout: the q
-                # section carries q_bias (pre-scaled, matching the scale
-                # baked into the q weights), k none, v v_bias
+                # per-head [q | k | v] bias groups matching the fused
+                # weight layout: q_bias pre-scaled (the q weights carry
+                # the score scale), k zero, v v_bias
                 qb = self.q_bias.reshape(h, d) * jnp.asarray(
                     d ** -0.5, self.q_bias.dtype)
                 vb = self.v_bias.reshape(h, d)
                 zb = jnp.zeros_like(qb)
-                fused = jnp.stack([qb, zb, vb])            # (3, h, d)
+                fused = jnp.stack([qb, zb, vb], axis=1)    # (h, 3, d)
                 fused = jnp.pad(fused, [(0, 0), (0, 0), (0, dp - d)])
-                y = y + fused.reshape(1, 1, 3 * h * dp).astype(y.dtype)
+                y = y + fused.reshape(1, 1, h * 3 * dp).astype(y.dtype)
             out = flash_self_attention_tmajor(y, h, l if lp != l else 0,
                                               1.0)
             return self.proj(out)[:, :l]

@@ -109,13 +109,15 @@ class HeadMajorOut(nn.Module):
 
 class TokenSlicedQKV(nn.Module):
     """Fused qkv projection for the token-sliced attention kernel: ONE
-    plain (B*L, W) x (W, 3*H*Dp) matmul emitting (B, L, 3*H*Dp) with each
-    head a lane-aligned 128-wide slice. Params match
-    ``nn.Dense(3*all_dim, use_bias=False)`` exactly (kernel (W, 3*all_dim)
-    [+ bias]); head-dim padding and the query scale are baked into the
-    reshaped weights at trace time, so the matmul runs at full speed
-    (plain ~191 vs transpose-fused head-major ~85 TFLOP/s on v5e — see
-    BENCH_NOTES round 2) and attention needs zero layout glue."""
+    plain (B*L, W) x (W, H*3*Dp) matmul emitting (B, L, H*3*Dp) with each
+    head's [q | k | v] a contiguous lane-aligned group (the kernel reads
+    one block per head; its gradient writes one block back — no concat).
+    Params match ``nn.Dense(3*all_dim, use_bias=False)`` exactly (kernel
+    (W, 3*all_dim) [+ bias]); head-dim padding, the per-head reorder, and
+    the query scale are baked into the reshaped weights at trace time, so
+    the matmul runs at full speed (plain ~191 vs transpose-fused
+    head-major ~85 TFLOP/s on v5e — see BENCH_NOTES round 2) and
+    attention needs zero layout glue."""
 
     all_dim: int
     heads: int
@@ -137,7 +139,8 @@ class TokenSlicedQKV(nn.Module):
             k4 = jnp.concatenate([k4[:, :1] * scale, k4[:, 1:]], axis=1)
         if dp > hd:
             k4 = jnp.pad(k4, [(0, 0), (0, 0), (0, 0), (0, dp - hd)])
-        y = x.astype(self.dtype) @ k4.reshape(w, 3 * self.heads * dp)
+        k4 = jnp.transpose(k4, (0, 2, 1, 3))      # (w, h, 3, dp)
+        y = x.astype(self.dtype) @ k4.reshape(w, self.heads * 3 * dp)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (3 * self.all_dim,))
@@ -148,7 +151,8 @@ class TokenSlicedQKV(nn.Module):
                      b4[:, 1:]], axis=1)
             if dp > hd:
                 b4 = jnp.pad(b4, [(0, 0)] * 3 + [(0, dp - hd)])
-            y = y + b4.reshape(1, 1, 3 * self.heads * dp)
+            b4 = jnp.transpose(b4, (0, 2, 1, 3))
+            y = y + b4.reshape(1, 1, self.heads * 3 * dp)
         return y
 
 

@@ -638,20 +638,23 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
 
 # ---------------------------------------------------------------------------
 # Token-major self-attention ("token-sliced"): q/k/v stay in the layout the
-# projection matmul naturally writes — (B, Lp, H*Dp) with each head a
-# 128-lane slice — and the grid's head axis selects the slice via the
-# BlockSpec index map. Rationale (BENCH_NOTES "attention glue", round 2):
-# a plain (BL, W) x (W, 3HDp) matmul sustains ~191 TFLOP/s on v5e while
-# the transpose-fused head-major einsum ('blw,whd->bhld') drops to
-# ~85 TFLOP/s — the strided head-major write pattern halves the matmul.
-# Reading per-head lane slices costs nothing, so attention runs with ZERO
-# layout glue end to end and the projections run at full matmul speed.
-# Replaces the head-major EVA path; the reference hot path being replaced
-# is still xformers memory_efficient_attention (eva_vit_model.py:330).
+# projection matmul naturally writes — (B, Lp, H*3*Dp) with each head's
+# [q | k | v] a contiguous 3*Dp lane group — and the grid's head axis
+# selects the group via the BlockSpec index map. Rationale (BENCH_NOTES
+# "attention glue", round 2): a plain (BL, W) x (W, 3HDp) matmul sustains
+# ~191 TFLOP/s on v5e while the transpose-fused head-major einsum
+# ('blw,whd->bhld') drops to ~85 TFLOP/s — the strided head-major write
+# pattern halves the matmul. Reading per-head lane groups costs nothing,
+# so attention runs with ZERO layout glue end to end and the projections
+# run at full matmul speed. The per-head-contiguous ordering (vs
+# [q heads | k heads | v heads]) lets forward read ONE operand block and
+# backward write ONE gradient block — no concat pass. Replaces the
+# head-major EVA path; the reference hot path being replaced is still
+# xformers memory_efficient_attention (eva_vit_model.py:330).
 #
 # The backward is self-contained: for single-block problems the whole
 # softmax row is in VMEM, so lse and delta are recomputed in-kernel and
-# the only residuals are (q, k, v, out) — tensors the forward already
+# the only residuals are (qkv, out) — tensors the forward already
 # materialized.
 # ---------------------------------------------------------------------------
 
@@ -666,11 +669,12 @@ def _tmajor_g(lp, dp, dtype_size, tensors, scores, batch):
     return 1
 
 
-def _tmajor_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, lk_true: int,
+def _tmajor_fwd_kernel(qkv_ref, o_ref, *, dp: int, lk_true: int,
                        scale: float):
-    q = q_ref[...]                                # (G, Lp, Dp)
-    k = k_ref[...]
-    v = v_ref[...]
+    blk = qkv_ref[...]                            # (G, Lp, 3*Dp)
+    q = blk[..., :dp]
+    k = blk[..., dp:2 * dp]
+    v = blk[..., 2 * dp:]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)       # (G, Lp, Lp)
@@ -688,11 +692,12 @@ def _tmajor_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, lk_true: int,
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def _tmajor_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref,
-                       dv_ref, *, lk_true: int, scale: float):
-    q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
+def _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, dp: int,
+                       lk_true: int, scale: float):
+    blk = qkv_ref[...]
+    q = blk[..., :dp]
+    k = blk[..., dp:2 * dp]
+    v = blk[..., 2 * dp:]
     o = o_ref[...].astype(jnp.float32)
     do = do_ref[...]
     s = jax.lax.dot_general(
@@ -706,32 +711,23 @@ def _tmajor_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref,
     l = jnp.sum(e, axis=-1, keepdims=True)
     p = e / l                                     # (G, Lp, Lp) fp32
     delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
-    dv_ref[...] = jax.lax.dot_general(
+    dv = jax.lax.dot_general(
         p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
+        preferred_element_type=jnp.float32)
+    dpv = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)                         # d(loss)/d(s*scale)... s
+    ds = p * (dpv - delta)
     dsc = ds.astype(q.dtype)
-    dk_ref[...] = (jax.lax.dot_general(
+    dk = jax.lax.dot_general(
         dsc, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
-    dq_ref[...] = (jax.lax.dot_general(
+        preferred_element_type=jnp.float32) * scale
+    dq = jax.lax.dot_general(
         dsc, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
-
-
-def _tmajor_specs(heads, lp, dp, g, offsets):
-    """BlockSpecs slicing head ih's 128-lane block out of (B, Lp, H*Dp)
-    operands; ``offsets`` gives each operand's lane-block base (0 for a
-    dedicated array; h*i for the i-th section of a fused qkv array)."""
-    return [
-        pl.BlockSpec((g, lp, dp),
-                     functools.partial(
-                         lambda off, ib, ih: (ib, 0, off + ih), off))
-        for off in offsets
-    ]
+        preferred_element_type=jnp.float32) * scale
+    dqkv_ref[..., :dp] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[..., dp:2 * dp] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[..., 2 * dp:] = dv.astype(dqkv_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -740,51 +736,49 @@ def self_attention_tmajor(qkv, *, heads: int, lk_true: int = 0,
                           scale: float = 1.0, interpret: bool = False):
     """Self-attention over a fused token-major qkv tensor.
 
-    qkv: (B, Lp, 3*H*Dp) — the raw output of one projection matmul, laid
-    out [q heads | k heads | v heads], each head Dp (lane-multiple) wide,
-    Lp a sublane multiple. Returns (B, Lp, H*Dp). ``lk_true`` masks key
-    tile padding in-kernel; ``scale`` is applied to the scores (fp32).
+    qkv: (B, Lp, H*3*Dp) — the raw output of one projection matmul whose
+    reshaped weights order each head's [q | k | v] contiguously, each
+    section Dp (lane-multiple) wide, Lp a sublane multiple. Returns
+    (B, Lp, H*Dp). ``lk_true`` masks key tile padding in-kernel;
+    ``scale`` is applied to the scores (fp32).
     """
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
     g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 4, 2, b)
-    specs = _tmajor_specs(heads, lp, dp, g, (0, heads, 2 * heads))
     return pl.pallas_call(
-        functools.partial(_tmajor_fwd_kernel, lk_true=lk_true, scale=scale),
+        functools.partial(_tmajor_fwd_kernel, dp=dp, lk_true=lk_true,
+                          scale=scale),
         grid=(b // g, heads),
-        in_specs=specs,
+        in_specs=[pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih))],
         out_specs=pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
         out_shape=jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(qkv)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("heads", "lk_true", "scale", "interpret"))
 def self_attention_tmajor_bwd(qkv, o, do, *, heads: int, lk_true: int = 0,
                               scale: float = 1.0, interpret: bool = False):
-    """Gradient w.r.t. the fused qkv tensor: returns d(qkv) with the same
-    (B, Lp, 3*H*Dp) layout (dq | dk | dv sections), recomputing the
-    softmax and delta in-kernel from (qkv, o, do)."""
+    """Gradient w.r.t. the fused qkv tensor, same per-head [dq | dk | dv]
+    layout, recomputing softmax and delta in-kernel from (qkv, o, do)."""
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
     g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 8, 4, b)
-    in_specs = _tmajor_specs(heads, lp, dp, g, (0, heads, 2 * heads))
-    in_specs += _tmajor_specs(heads, lp, dp, g, (0, 0))
-    out_specs = _tmajor_specs(heads, lp, dp, g, (0, 0, 0))
-    shape = jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_tmajor_bwd_kernel, lk_true=lk_true, scale=scale),
+    return pl.pallas_call(
+        functools.partial(_tmajor_bwd_kernel, dp=dp, lk_true=lk_true,
+                          scale=scale),
         grid=(b // g, heads),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[shape, shape, shape],
+        in_specs=[
+            pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih)),
+            pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+            pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+        ],
+        out_specs=pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih)),
+        out_shape=jax.ShapeDtypeStruct((b, lp, total), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(qkv, qkv, qkv, o, do)
-    # back to the fused layout; XLA splits the consuming dots over the
-    # concat operands, so this is section bookkeeping, not a real pass
-    return jnp.concatenate([dq, dk, dv], axis=-1)
+    )(qkv, o, do)
