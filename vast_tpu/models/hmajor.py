@@ -41,20 +41,12 @@ class HeadMajorDense(nn.Module):
 
 class HeadMajorQKV(nn.Module):
     """Fused qkv projection -> three head-major (B, H, L, Dh) tensors;
-    params match ``nn.Dense(3*all_dim, use_bias=False)``.
-
-    ``pad_head_dim`` > Dh zero-pads the reshaped kernel's head-dim axis so
-    q/k/v come out of the matmul already lane-aligned (B, H, L, Dp) —
-    XLA's minor-dim pad of the activations runs at ~20% of HBM bandwidth,
-    while padding the (small) weights is free and the matmul epilogue
-    writes the aligned layout directly (see BENCH_NOTES.md, attention
-    glue)."""
+    params match ``nn.Dense(3*all_dim, use_bias=False)``."""
 
     all_dim: int
     heads: int
     use_bias: bool = False
     dtype: Any = jnp.float32
-    pad_head_dim: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -63,9 +55,6 @@ class HeadMajorQKV(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (w, 3 * self.all_dim))
         k3 = kernel.reshape(w, 3, self.heads, hd).astype(self.dtype)
-        dp = max(self.pad_head_dim, hd)
-        if dp > hd:
-            k3 = jnp.pad(k3, [(0, 0), (0, 0), (0, 0), (0, dp - hd)])
         x = x.astype(self.dtype)
         q = jnp.einsum("blw,whd->bhld", x, k3[:, 0])
         k = jnp.einsum("blw,whd->bhld", x, k3[:, 1])
@@ -74,35 +63,24 @@ class HeadMajorQKV(nn.Module):
             bias = self.param("bias", nn.initializers.zeros,
                               (3 * self.all_dim,))
             b3 = bias.reshape(1, 3, self.heads, 1, hd).astype(self.dtype)
-            if dp > hd:
-                b3 = jnp.pad(b3, [(0, 0)] * 4 + [(0, dp - hd)])
             q, k, v = q + b3[:, 0], k + b3[:, 1], v + b3[:, 2]
         return q, k, v
 
 
 class HeadMajorOut(nn.Module):
     """Output projection over head-major (B, H, L, Dh) -> (B, L, features);
-    params match ``nn.Dense(features)``.
-
-    ``head_dim`` (when set) is the TRUE per-head width; a wider input's
-    extra lanes (tile padding from the attention kernel) are consumed by
-    zero rows padded into the reshaped kernel — the contraction ignores
-    them, so no HBM slice is needed before the projection."""
+    params match ``nn.Dense(features)``."""
 
     features: int
     dtype: Any = jnp.float32
-    head_dim: int = 0
 
     @nn.compact
     def __call__(self, o):
-        _, h, _, dp = o.shape
-        hd = self.head_dim or dp
+        _, h, _, hd = o.shape
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (h * hd, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         k3 = kernel.reshape(h, hd, self.features).astype(self.dtype)
-        if dp > hd:
-            k3 = jnp.pad(k3, [(0, 0), (0, dp - hd), (0, 0)])
         return (jnp.einsum("bhld,hdw->blw", o.astype(self.dtype), k3)
                 + bias.astype(self.dtype))
 

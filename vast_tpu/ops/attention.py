@@ -124,21 +124,6 @@ def _tmajor_bwd(heads, lk_true, scale, interpret, residuals, g):
 flash_self_attention_tmajor.defvjp(_tmajor_fwd, _tmajor_bwd)
 
 
-def flash_attention_prepadded(q, k, v, *, lk_true: int, scale,
-                              interpret: bool = False):
-    """Zero-glue entry for callers whose projections already emit
-    tile-padded head-major q/k/v — q (B, H, Lqp, Dp), k/v (B, H, Lkp, Dp)
-    with Dp a lane (128) multiple, Lqp/Lkp sublane (16) multiples and
-    ``lk_true`` real keys. Returns the PADDED (B, H, Lqp, Dp) output (junk
-    query rows beyond the caller's true Lq are the caller's to drop); key
-    tile padding is masked in-kernel, so no bias array, no pads, and no
-    slices touch HBM here. See models/eva_vit.py for the emit-padded
-    pattern (replaces the reference's xformers call, eva_vit_model.py:330).
-    """
-    return _flash_fwd(q * jnp.asarray(scale, q.dtype), k, v, None, False,
-                      interpret, lk_true)
-
-
 def _use_pallas_shapes(b, lq, lk, h, d, has_bias=True) -> bool:
     if jax.default_backend() != "tpu":
         return False
