@@ -241,6 +241,41 @@ def test_flash_attention_bwd_no_bias_multiblock():
                                atol=2e-4, rtol=1e-3)
 
 
+def test_tmajor_vmem_gate():
+    """The token-sliced backward block must fit VMEM at g=1; shapes that
+    don't (EVA at 448px) must be rejected so the model routes to the
+    head-major flash path instead of compile-crashing."""
+    from vast_tpu.ops.flash_attention import tmajor_fits_vmem
+
+    assert tmajor_fits_vmem(272, 128, 2)        # EVA-g 224px bf16
+    assert not tmajor_fits_vmem(1040, 128, 2)   # EVA 448px: ~19 MB
+
+
+def test_flash_attention_bwd_tiled_non128_lk():
+    """AST-style shapes: bias-free Lk pads only to a 16-multiple while
+    Lq > 512 forces the tiled backward, whose key tiles are 128-granular.
+    Regression for the round-2 advisor finding: ``nk = lk // block_k``
+    truncated and dk/dv rows past the last full 128-block were never
+    written (AST training, 1214 tokens -> 64 lost key rows)."""
+    b, l, h, d = 1, 611, 2, 64  # lq pads to 640 (128), lk to 624 (16)
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, l, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, l, h, d), jnp.float32)
+
+    def loss(impl):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, impl=impl, interpret=True)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    g_pallas = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_flash_attention_fwd_lse_matches_reference():
     b, h, l, d = 1, 2, 128, 128
     ks = jax.random.split(jax.random.PRNGKey(9), 3)

@@ -205,9 +205,16 @@ class VisionMapper:
         s = self.host_size
         probe = subprocess.run(
             ["ffprobe", "-v", "error", "-select_streams", "v:0",
-             "-show_entries", "stream=width,height", "-of", "csv=p=0", path],
+             "-show_entries", "stream=width,height,r_frame_rate",
+             "-of", "csv=p=0", path],
             capture_output=True, text=True, check=True)
-        w, h = (int(x) for x in probe.stdout.strip().split(",")[:2])
+        fields = probe.stdout.strip().split(",")
+        w, h = int(fields[0]), int(fields[1])
+        fps = 25.0
+        if len(fields) > 2 and "/" in fields[2]:
+            num, den = fields[2].split("/")
+            if float(den) > 0:
+                fps = float(num) / float(den)
         scale = s / min(w, h)
         nw, nh = max(s, round(w * scale)), max(s, round(h * scale))
         out = subprocess.run(
@@ -218,7 +225,7 @@ class VisionMapper:
         frames = np.frombuffer(out, np.uint8)
         n = len(frames) // (s * s * 3)
         frames = frames[: n * s * s * 3].reshape(n, s, s, 3)
-        idx = sample_indices(n, self._sample_count(n, 25.0), self.training)
+        idx = sample_indices(n, self._sample_count(n, fps), self.training)
         return frames[idx]
 
     def _read_feats(self, id_):

@@ -38,6 +38,7 @@ from vast_tpu.ops.attention import (
     multi_head_attention,
     multi_head_attention_hmajor,
 )
+from vast_tpu.ops.flash_attention import tmajor_fits_vmem
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,11 +165,16 @@ class EvaAttention(nn.Module):
             # between projection and attention), TPU backend, kernel-sized
             # problem. Param trees are identical either way.
             l = c.num_patches + 1
+            lp = -(-l // 16) * 16
+            dp = -(-c.head_width // 128) * 128
             self.token_sliced = (
                 jax.default_backend() == "tpu" and not c.rope
-                and l * l >= 128 * 128)
+                and l * l >= 128 * 128
+                # the backward block must fit VMEM at g=1 — at 448px
+                # (lp=1040) it doesn't; fall back to head-major flash
+                and tmajor_fits_vmem(lp, dp,
+                                     jnp.dtype(c.dtype).itemsize))
             if self.token_sliced:
-                dp = -(-c.head_width // 128) * 128
                 self.qkv = TokenSlicedQKV(all_dim, c.num_heads, dtype=c.dtype,
                                           pad_head_dim=dp,
                                           q_scale=c.head_width ** -0.5)

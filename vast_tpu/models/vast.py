@@ -571,9 +571,17 @@ class VASTModel(nn.Module):
             diag = jnp.eye(bs, dtype=bool)
             w_t2c = jnp.where(diag, 0.0, w_t2c)
             w_c2t = jnp.where(diag, 0.0, w_c2t)
-            k1, k2 = jax.random.split(jax.random.fold_in(neg_rng, si))
-            neg_cond_idx = jax.random.categorical(k1, jnp.log(w_t2c), axis=1)
-            neg_text_idx = jax.random.categorical(k2, jnp.log(w_c2t), axis=1)
+            if "itm_neg_cond_idx" in batch:
+                # deterministic-injection hook (whole-model parity tests):
+                # (n_subtasks, B) indices replace the categorical draws
+                neg_cond_idx = batch["itm_neg_cond_idx"][si]
+                neg_text_idx = batch["itm_neg_text_idx"][si]
+            else:
+                k1, k2 = jax.random.split(jax.random.fold_in(neg_rng, si))
+                neg_cond_idx = jax.random.categorical(k1, jnp.log(w_t2c),
+                                                      axis=1)
+                neg_text_idx = jax.random.categorical(k2, jnp.log(w_c2t),
+                                                      axis=1)
             cond_neg = cond[neg_cond_idx]
             ids_neg = input_ids[neg_text_idx]
             mask_neg = attention_mask[neg_text_idx]
@@ -607,11 +615,16 @@ class VASTModel(nn.Module):
 
         input_ids = batch[f"{caption_key}_tokens"]
         attention_mask = batch[f"{caption_key}_attention_mask"]
-        mask_rng = (step_rngs or {})["mask"]
-        corrupted, labels = mask_tokens(
-            mask_rng, input_ids, 0.6,
-            mask_token=self._mask_token_id(),
-            range_end=self._bert_cfg.vocab_size)
+        if f"{caption_key}_masked_tokens" in batch:
+            # deterministic-injection hook (whole-model parity tests)
+            corrupted = batch[f"{caption_key}_masked_tokens"]
+            labels = batch[f"{caption_key}_masked_labels"]
+        else:
+            mask_rng = (step_rngs or {})["mask"]
+            corrupted, labels = mask_tokens(
+                mask_rng, input_ids, 0.6,
+                mask_token=self._mask_token_id(),
+                range_end=self._bert_cfg.vocab_size)
         # causal-triangular 3-D mask (model/vast.py:497-499)
         l = attention_mask.shape[1]
         att3 = jnp.broadcast_to(attention_mask[:, None, :],
@@ -640,10 +653,15 @@ class VASTModel(nn.Module):
         q_mask = batch["question_attention_mask"]
         a_ids = batch["answer_tokens"]
         a_mask = batch["answer_attention_mask"]
-        mask_rng = (step_rngs or {})["mask"]
-        a_corrupted, a_labels = mask_tokens(
-            mask_rng, a_ids, 0.99, mask_token=self._mask_token_id(),
-            range_end=self._bert_cfg.vocab_size)
+        if "answer_masked_tokens" in batch:
+            # deterministic-injection hook (whole-model parity tests)
+            a_corrupted = batch["answer_masked_tokens"]
+            a_labels = batch["answer_masked_labels"]
+        else:
+            mask_rng = (step_rngs or {})["mask"]
+            a_corrupted, a_labels = mask_tokens(
+                mask_rng, a_ids, 0.99, mask_token=self._mask_token_id(),
+                range_end=self._bert_cfg.vocab_size)
         input_ids = jnp.concatenate([q_ids, a_corrupted], axis=1)
         attention_mask = jnp.concatenate([q_mask, a_mask], axis=1)
         labels = jnp.concatenate(

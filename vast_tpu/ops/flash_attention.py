@@ -31,6 +31,10 @@ NEG_INF = -1e30
 SINGLE_BLOCK_MAX_KV = 4096
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _pick_block(l: int, target: int) -> int:
     """Largest 128-multiple block <= target dividing l (l is a multiple
     of 128 by wrapper construction)."""
@@ -543,6 +547,34 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
         return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
                 dv.reshape(b, h, lk, d))
 
+    # Tiled path: blocks are 128-granular, but the forward wrapper may
+    # deliver Lk (and Lq <= 512) at sublane (16) granularity when it ran
+    # the single-block bias-free forward. Re-pad here to 128 multiples
+    # with in-kernel lk_true masking, else ``nk = lk // block_k``
+    # truncates and dk/dv tail rows are never written (advisor r2 high:
+    # AST training, lk=1216 -> nk=9 covered only 1152 keys).
+    lq_out, lk_out = lq, lk
+    if lk % 128:
+        if not (0 < lk_true < lk):
+            lk_true = lk
+        pad = _round_up(lk, 128) - lk
+        kf = jnp.pad(kf, [(0, 0), (0, pad), (0, 0)])
+        vf = jnp.pad(vf, [(0, 0), (0, pad), (0, 0)])
+        if has_bias:
+            biasf = jnp.pad(biasf, [(0, 0), (0, 0), (0, pad)])
+        lk += pad
+    if lq > 512 and lq % 128:
+        # zero-padded q/do/lse/delta rows contribute exactly zero to
+        # dk/dv (do = 0 and delta = 0 => ds = 0) and their dq is sliced
+        pad = _round_up(lq, 128) - lq
+        qf = jnp.pad(qf, [(0, 0), (0, pad), (0, 0)])
+        dof = jnp.pad(dof, [(0, 0), (0, pad), (0, 0)])
+        lsef = jnp.pad(lsef, [(0, 0), (0, pad), (0, 0)])
+        delta = jnp.pad(delta, [(0, 0), (0, pad), (0, 0)])
+        if has_bias:
+            biasf = jnp.pad(biasf, [(0, 0), (0, pad), (0, 0)])
+        lq += pad
+
     block_q = _pick_block(lq, block_q)
     block_k = _pick_block(lk, block_k)
     nq = lq // block_q
@@ -618,8 +650,10 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
             interpret=interpret,
         )(qf, dof, lsef, delta, kf, vf, biasf)
         dq, ds = out
-        return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
-                dv.reshape(b, h, lk, d), ds.reshape(b, h, lq, lk))
+        return (dq.reshape(b, h, lq, d)[:, :, :lq_out],
+                dk.reshape(b, h, lk, d)[:, :, :lk_out],
+                dv.reshape(b, h, lk, d)[:, :, :lk_out],
+                ds.reshape(b, h, lq, lk)[:, :, :lq_out, :lk_out])
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_nods, nk=nk, has_bias=has_bias,
                           lk_true=ltk, block_k=block_k),
@@ -632,8 +666,9 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qf, dof, lsef, delta, kf, vf, biasf)
-    return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
-            dv.reshape(b, h, lk, d))
+    return (dq.reshape(b, h, lq, d)[:, :, :lq_out],
+            dk.reshape(b, h, lk, d)[:, :, :lk_out],
+            dv.reshape(b, h, lk, d)[:, :, :lk_out])
 
 
 # ---------------------------------------------------------------------------
@@ -657,6 +692,16 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
 # the only residuals are (qkv, out) — tensors the forward already
 # materialized.
 # ---------------------------------------------------------------------------
+
+
+def tmajor_fits_vmem(lp: int, dp: int, itemsize: int) -> bool:
+    """Whether the token-sliced BACKWARD fits the VMEM budget at g=1
+    (8 L x D tensor blocks: qkv + dqkv at 3*Dp, o + do at Dp; plus 4
+    fp32 L x L score tiles: s, p, dp, ds). Call-site gate: beyond this
+    (e.g. EVA at 448px, lp=1040 -> ~19 MB) the model must route to the
+    head-major flash path instead of compile-crashing (advisor r2)."""
+    per_g = 8 * lp * dp * itemsize + 4 * lp * lp * 4
+    return per_g <= 13 * 2 ** 20
 
 
 def _tmajor_g(lp, dp, dtype_size, tensors, scores, batch):

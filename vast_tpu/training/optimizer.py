@@ -119,9 +119,16 @@ def build_optimizer(params, run_cfg, model_cfg, num_train_steps: int):
                                weight_decay=weight_decay,
                                mu_dtype=mu_dtype)
         if name == "adam":
+            if nu_dtype is not None:
+                return optax.chain(
+                    scale_by_adam_general(betas[0], betas[1], 1e-6),
+                    optax.scale_by_learning_rate(scaled))
             return optax.adam(scaled, b1=betas[0], b2=betas[1], eps=1e-6,
                               mu_dtype=mu_dtype)
         if name == "adamax":
+            if nu_dtype is not None:
+                raise ValueError(
+                    "adam_nu_dtype is not supported for optim='adamax'")
             return optax.adamax(scaled, b1=betas[0], b2=betas[1], eps=1e-6)
         raise ValueError(name)
 
