@@ -19,8 +19,26 @@ from vast_tpu.evaluation.vqa_metrics import (
 
 def test_ptb_tokenize():
     assert ptb_tokenize("A man, running!") == ["a", "man", "running"]
-    assert ptb_tokenize("don't stop...") == ["don't", "stop"]
     assert ptb_tokenize("") == []
+
+
+def test_ptb_tokenize_matches_stanford_behavior():
+    """Documented edu.stanford.nlp PTBTokenizer outputs (the jar the
+    reference shells out to, tokenizer/ptbtokenizer.py:31-33) on
+    punctuation/contraction-heavy strings, post the PUNCTUATIONS filter."""
+    cases = {
+        "don't stop...": ["do", "n't", "stop"],
+        "The man's dog -- a pug; really!?": ["the", "man", "'s", "dog",
+                                             "a", "pug", "really"],
+        "I cannot won't can't": ["i", "can", "not", "wo", "n't",
+                                 "ca", "n't"],
+        "we're gonna we've they'll she'd i'm": [
+            "we", "'re", "gon", "na", "we", "'ve", "they", "'ll",
+            "she", "'d", "i", "'m"],
+        "a, b: c-d (e)": ["a", "b", "c", "d", "e"],
+    }
+    for text, want in cases.items():
+        assert ptb_tokenize(text) == want, (text, ptb_tokenize(text))
 
 
 def test_bleu_perfect_match():
@@ -99,3 +117,51 @@ def test_vqa_normalization_and_accuracy():
     assert acc == 1.0
     acc = vqa_accuracy(["cat"], [["cat", "dog", "dog", "bird"]])
     assert acc == pytest.approx(1 / 3)
+
+
+@pytest.mark.slow
+def test_scorers_match_reference_vendored():
+    """BLEU-1..4 / ROUGE-L / CIDEr equality vs the reference's OWN vendored
+    pycocoevalcap scorers (evaluation_tools/caption_tools/pycocoevalcap/
+    {bleu,rouge,cider}) on a ~50-caption synthetic corpus. CIDEr drives
+    best-checkpoint selection, so its parity is load-bearing."""
+    from tests.test_ref_parity import REF, _load_ref
+
+    base = f"{REF}/evaluation_tools/caption_tools/pycocoevalcap"
+    refbleu = _load_ref("refbleu", f"{base}/bleu", "bleu")
+    refrouge = _load_ref("refrouge", f"{base}/rouge", "rouge")
+    refcider = _load_ref("refcider", f"{base}/cider", "cider")
+
+    rs = np.random.RandomState(7)
+    vocab = ("a the man dog cat ball park runs jumps plays red big small "
+             "street water two with on in is").split()
+
+    def sent(lo=3, hi=12):
+        return " ".join(rs.choice(vocab, rs.randint(lo, hi)))
+
+    gts_s, res_s = {}, {}
+    for i in range(50):
+        k = f"v{i}"
+        refs = [sent() for _ in range(int(rs.randint(1, 4)))]
+        # mix verbatim copies, partial overlaps, and unrelated hyps
+        if i % 3 == 0:
+            hyp = refs[0]
+        elif i % 3 == 1:
+            hyp = " ".join(refs[0].split()[: max(2, len(refs[0].split()) // 2)]
+                           + sent(2, 5).split())
+        else:
+            hyp = sent()
+        gts_s[k] = refs
+        res_s[k] = [hyp]
+
+    want_bleu, _ = refbleu.Bleu(4).compute_score(gts_s, res_s)
+    want_rouge, _ = refrouge.Rouge().compute_score(gts_s, res_s)
+    want_cider, _ = refcider.Cider().compute_score(gts_s, res_s)
+
+    gts = {k: [r.split() for r in v] for k, v in gts_s.items()}
+    res = {k: [v[0].split()] for k, v in res_s.items()}
+    got_bleu = bleu(gts, res)
+    for n in range(4):
+        assert abs(got_bleu[n] - want_bleu[n]) < 1e-6, (n, got_bleu, want_bleu)
+    assert abs(rouge_l(gts, res) - want_rouge) < 1e-6
+    assert abs(cider(gts, res) - want_cider) < 1e-6

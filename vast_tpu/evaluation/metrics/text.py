@@ -17,21 +17,44 @@ from collections import Counter, defaultdict
 
 _PUNCT = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
           ".", "?", "!", ",", ":", "-", "--", "...", ";"]
-_PUNCT_SET = set(_PUNCT)
+# the Stanford tokenizer emits round/curly brackets as -LRB-/-RRB-/
+# -LCB-/-RCB- (which the PUNCTUATIONS filter then removes); we see the
+# raw characters
+_PUNCT_SET = set(_PUNCT) | {"(", ")", "{", "}"}
+
+
+def _split_clitics(t: str) -> list[str]:
+    """Penn-Treebank clitic splitting: don't -> do n't, man's -> man 's,
+    cannot -> can not, gonna -> gon na (edu.stanford.nlp PTBTokenizer)."""
+    if t == "cannot":
+        return ["can", "not"]
+    if t in ("gonna", "wanna", "gotta", "lemme", "gimme"):
+        return [t[:3], t[3:]]
+    m = re.match(r"(.+?)(n't)$", t)
+    if m and m.group(1):
+        return [m.group(1), "n't"]
+    m = re.match(r"(.+?)('(?:s|re|ve|ll|d|m))$", t)
+    if m:
+        return [m.group(1), m.group(2)]
+    return [t]
 
 
 def ptb_tokenize(text: str) -> list[str]:
     """Lowercase word tokenizer dropping the PTBTokenizer punctuation set.
 
     Approximates the Stanford PTBTokenizer pipeline used by pycocoevalcap
-    (tokenizer/ptbtokenizer.py) closely enough for metric parity on normal
-    captions (no Java dependency).
+    (tokenizer/ptbtokenizer.py): lowercase, split words/punctuation,
+    split PTB clitics, drop the PUNCTUATIONS list (no Java dependency).
     """
     text = text.lower().strip()
     text = re.sub(r"[\t\n\r]", " ", text)
-    # split off punctuation as separate tokens, then drop the PTB set
-    toks = re.findall(r"[a-z0-9]+(?:'[a-z]+)?|[^\sa-z0-9]", text)
-    return [t for t in toks if t not in _PUNCT_SET]
+    toks = re.findall(r"[a-z0-9]+(?:'[a-z]+)*|[^\sa-z0-9]", text)
+    out = []
+    for t in toks:
+        if t in _PUNCT_SET:
+            continue
+        out.extend(_split_clitics(t))
+    return out
 
 
 def _ngrams(tokens: list[str], n: int) -> Counter:
@@ -84,19 +107,22 @@ def _lcs(a: list[str], b: list[str]) -> int:
 
 
 def rouge_l(gts: dict, res: dict, beta: float = 1.2) -> float:
+    """COCO ROUGE-L: max precision and max recall are taken over the refs
+    SEPARATELY before the F-combination (pycocoevalcap rouge.py:70-74),
+    possibly from different references."""
     scores = []
     for key, hyps in res.items():
         hyp = hyps[0]
-        best = 0.0
+        prec_max = rec_max = 0.0
         for ref in gts[key]:
             l = _lcs(hyp, ref)
-            if l == 0:
-                continue
-            prec = l / len(hyp) if hyp else 0.0
-            rec = l / len(ref) if ref else 0.0
-            if prec and rec:
-                f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-                best = max(best, f)
+            prec_max = max(prec_max, l / len(hyp) if hyp else 0.0)
+            rec_max = max(rec_max, l / len(ref) if ref else 0.0)
+        if prec_max and rec_max:
+            best = ((1 + beta ** 2) * prec_max * rec_max) \
+                / (rec_max + beta ** 2 * prec_max)
+        else:
+            best = 0.0
         scores.append(best)
     return sum(scores) / max(len(scores), 1)
 
