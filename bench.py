@@ -156,6 +156,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the flagship train program takes ~20 min
+    # to compile over the axon tunnel; cached reruns start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from vast_tpu.models.vast import VASTConfig, VASTModel
 
     rs = np.random.RandomState(0)

@@ -32,8 +32,11 @@ from vast_tpu.parallel.collectives import gather_array, gather_list
 
 
 def evaluate_mm(model, params, tokenizer, val_loaders: dict, run_cfg,
-                global_step: int = 0):
-    """val_loaders: {f'{task}--{name}': BatchLoader}. Returns eval_log."""
+                global_step: int = 0, mesh=None):
+    """val_loaders: {f'{task}--{name}': BatchLoader}. Returns eval_log.
+
+    ``mesh``: optional device mesh — eval batches are sharded over its
+    data axes and the jitted feature/rerank programs run SPMD."""
     eval_log = {}
     for key, loader in val_loaders.items():
         task = key.split("--")[0]
@@ -43,14 +46,16 @@ def evaluate_mm(model, params, tokenizer, val_loaders: dict, run_cfg,
         for head, subtasks in parse_task_string(task):
             if head.startswith("ret"):
                 val_log.update(evaluate_ret(model, params, subtasks, loader,
-                                            run_cfg))
+                                            run_cfg, mesh=mesh))
             elif head.startswith("cap"):
                 val_log.update(evaluate_cap(model, params, tokenizer,
                                             subtasks, loader, run_cfg,
-                                            global_step, dset_name))
+                                            global_step, dset_name,
+                                            mesh=mesh))
             elif head.startswith("qa"):
                 val_log.update(evaluate_qa(model, params, tokenizer,
-                                           subtasks, loader, run_cfg))
+                                           subtasks, loader, run_cfg,
+                                           mesh=mesh))
         eval_log[key] = val_log
     return eval_log
 
@@ -68,7 +73,7 @@ def _pad_to(arr, n):
 # retrieval (evaluation_mm.py:171-249)
 # ------------------------------------------------------------------
 
-def evaluate_ret(model, params, subtasks, loader, run_cfg):
+def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
     cond_fn = jax.jit(functools.partial(_cond_features, model),
                       static_argnames=("subtasks", "vision_transforms"))
     text_fn = jax.jit(functools.partial(_text_features, model))
@@ -85,13 +90,14 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg):
         ids_txt += list(batch["ids_txt"])
         if batch_size is None:
             batch_size = len(batch["ids"])
-        out = cond_fn(params, _device_batch(batch), subtasks=tuple(subtasks),
-                      vision_transforms=vt)
+        out = cond_fn(params, _device_batch(batch, mesh),
+                      subtasks=tuple(subtasks), vision_transforms=vt)
         for st in subtasks:
             cond_feats[st].append(np.asarray(out[f"feat_cond_{st}"]))
             cond_seqs[st].append(np.asarray(out[f"condition_feats_{st}"]))
-        ft = text_fn(params, jnp.asarray(batch["caption_tokens"]),
-                     jnp.asarray(batch["caption_attention_mask"]))
+        tb = _device_batch({"t": batch["caption_tokens"],
+                            "m": batch["caption_attention_mask"]}, mesh)
+        ft = text_fn(params, tb["t"], tb["m"])
         feats_t.append(np.asarray(ft))
         tok_buf.append(np.asarray(batch["caption_tokens"]))
         mask_buf.append(np.asarray(batch["caption_attention_mask"]))
@@ -122,13 +128,14 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg):
         cseq = gather_array(np.concatenate(cond_seqs[st]))
         top_k = int(run_cfg.get("itm_rerank_num", 50))
         refined = rerank_scores(model, params, cseq, input_ids,
-                                attention_mask, score, top_k, "forward")
+                                attention_mask, score, top_k, "forward",
+                                mesh=mesh)
         log = compute_metric_ret(refined, ids, ids_txt, "forward")
         log = {k.replace("forward", "video"): v for k, v in log.items()}
         if run_cfg.get("ret_bidirection_evaluation"):
             refined_b = rerank_scores(model, params, cseq, input_ids,
                                       attention_mask, score, top_k,
-                                      "backward")
+                                      "backward", mesh=mesh)
             log2 = compute_metric_ret(refined_b, ids, ids_txt, "backward")
             log.update({k.replace("backward", "txt"): v
                         for k, v in log2.items()})
@@ -153,14 +160,17 @@ def _loader_transforms(loader):
     return (d_cfg or {}).get("vision_transforms", "none")
 
 
-def _device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if isinstance(v, np.ndarray)}
+def _device_batch(batch, mesh=None):
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    if mesh is not None:
+        from vast_tpu.parallel.mesh import shard_batch
+        return shard_batch(mesh, arrays)
+    return {k: jnp.asarray(v) for k, v in arrays.items()}
 
 
 def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
                   itc_scores, top_k, direction: str = "forward",
-                  chunk: int = 64):
+                  chunk: int = 64, mesh=None):
     """Batched ITM rerank: score the ITC top-k (text, cond) pairs.
 
     ``direction='forward'`` reranks each text's top-k candidate videos;
@@ -190,9 +200,10 @@ def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
         ids_chunk, valid = _pad_to(input_ids[t_idx], chunk)
         mask_chunk, _ = _pad_to(attention_mask[t_idx], chunk)
         cond_chunk, _ = _pad_to(cond_seqs[c_idx], chunk)
-        scores = np.asarray(score_fn(params, jnp.asarray(cond_chunk),
-                                     jnp.asarray(ids_chunk),
-                                     jnp.asarray(mask_chunk)))[valid]
+        db = _device_batch({"c": cond_chunk, "i": ids_chunk,
+                            "m": mask_chunk}, mesh)
+        scores = np.asarray(score_fn(params, db["c"], db["i"],
+                                     db["m"]))[valid]
         out[t_idx, c_idx] = scores
     return out
 
@@ -240,7 +251,7 @@ def compute_metric_ret(score_matrix, ids, ids_txt, direction="forward"):
 # ------------------------------------------------------------------
 
 def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
-                 global_step, dset_name):
+                 global_step, dset_name, mesh=None):
     cfg = model.cfg
     gen_cfg = GenerationConfig(
         max_new_tokens=cfg.max_caption_len,
@@ -256,8 +267,8 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
     results = {st: [] for st in subtasks}
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
     for batch in loader:
-        out = cond_fn(params, _device_batch(batch), subtasks=tuple(subtasks),
-                      vision_transforms=vt)
+        out = cond_fn(params, _device_batch(batch, mesh),
+                      subtasks=tuple(subtasks), vision_transforms=vt)
         for st in subtasks:
             cond = out[f"condition_feats_{st}"]
             if cfg.captioner_mode and cfg.generate_nums > 1:
@@ -288,7 +299,8 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
 # QA (evaluation_mm.py:54-100)
 # ------------------------------------------------------------------
 
-def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg):
+def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
+                mesh=None):
     cfg = model.cfg
     gen_cfg = GenerationConfig(
         max_new_tokens=10, num_beams=cfg.beam_size, length_penalty=1.0,
@@ -304,8 +316,8 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg):
         answers = batch["raw_answers"]
         gt_answers += [a for row in answers
                        for a in (row if isinstance(row, list) else [row])]
-        out = cond_fn(params, _device_batch(batch), subtasks=tuple(subtasks),
-                      vision_transforms=vt)
+        out = cond_fn(params, _device_batch(batch, mesh),
+                      subtasks=tuple(subtasks), vision_transforms=vt)
         q_ids = np.asarray(batch["question_tokens"])
         q_mask = np.asarray(batch["question_attention_mask"])
         b = q_ids.shape[0]

@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vast_tpu.models.remat import remat_policy
 from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
 from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention_hmajor
@@ -32,6 +33,7 @@ class AstConfig:
     ln_eps: float = 1e-12
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
 
     @property
     def tokens_per_clip(self) -> int:
@@ -86,7 +88,8 @@ class AstModel(nn.Module):
         pos = nn.Embed(c.tokens_per_clip + 1, c.hidden_size,
                        name="position_embeddings", dtype=c.dtype)
         x = x + pos(jnp.arange(x.shape[1])[None, :])
-        block_cls = nn.remat(AstLayer) if c.remat else AstLayer
+        block_cls = (nn.remat(AstLayer, policy=remat_policy(c.remat_policy))
+                     if c.remat else AstLayer)
         for i in range(c.num_hidden_layers):
             x = block_cls(c, name=f"layer_{i}")(x)
         return nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype,

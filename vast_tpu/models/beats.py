@@ -34,6 +34,7 @@ import numpy as np
 
 from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
 from vast_tpu.ops.activations import gelu
+from vast_tpu.models.remat import remat_policy, tag_attention
 from vast_tpu.ops.attention import multi_head_attention_hmajor
 
 
@@ -57,6 +58,7 @@ class BeatsConfig:
     ln_eps: float = 1e-5
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
 
     @property
     def head_dim(self) -> int:
@@ -222,7 +224,9 @@ class BeatsEncoder(nn.Module):
         for layer in self.layers:
             if c.remat:
                 (x, position_bias) = nn.remat(
-                    lambda m, a, pb: m(a, pb))(layer, x, position_bias)
+                    lambda m, a, pb: m(a, pb),
+                    policy=remat_policy(c.remat_policy),
+                )(layer, x, position_bias)
             else:
                 x, position_bias = layer(x, position_bias)
         if c.layer_norm_first:

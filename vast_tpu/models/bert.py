@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vast_tpu.models.remat import remat_policy
 from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention
 
@@ -44,6 +45,7 @@ class BertConfig:
     add_cross_attention: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
 
     @property
     def head_dim(self) -> int:
@@ -230,6 +232,12 @@ class BertModel(nn.Module):
                                 deterministic)
         else:
             x = inputs_embeds
+        # under a dp mesh, re-pin hidden states to batch sharding right
+        # after the table lookups — otherwise the whole embeddings+LN
+        # chain runs in the table's fsdp layout and the partitioner
+        # "involuntarily rematerializes" at the first matmul (dryrun-r3)
+        from vast_tpu.parallel.mesh import constrain_batch_dim
+        x = constrain_batch_dim(x)
 
         lq = x.shape[1]
         if cache is not None:
@@ -257,6 +265,7 @@ class BertModel(nn.Module):
                 fn = nn.remat(
                     lambda mod, *a: mod(*a),
                     static_argnums=(5,),
+                    policy=remat_policy(self.cfg.remat_policy),
                 )
                 x, nc = fn(layer, x, self_mask, encoder_hidden_states,
                            cross_mask, deterministic, layer_cache,

@@ -16,6 +16,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vast_tpu.models.remat import remat_policy
 from vast_tpu.models.hmajor import HeadMajorOut, HeadMajorQKV
 from vast_tpu.ops.attention import multi_head_attention_hmajor
 
@@ -30,6 +31,7 @@ class ClipVitConfig:
     ln_eps: float = 1e-5
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
 
     @property
     def grid_size(self) -> int:
@@ -97,7 +99,8 @@ class ClipVisionTransformer(nn.Module):
                          (c.grid_size ** 2 + 1, c.width))
         x = x + pos.astype(x.dtype)
         x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln_pre")(x)
-        block_cls = nn.remat(ClipBlock) if c.remat else ClipBlock
+        block_cls = (nn.remat(ClipBlock, policy=remat_policy(c.remat_policy))
+                     if c.remat else ClipBlock)
         for i in range(c.layers):
             x = block_cls(c, name=f"block_{i}")(x)
         return nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln_post")(x)

@@ -38,6 +38,7 @@ from vast_tpu.ops.attention import (
     multi_head_attention,
     multi_head_attention_hmajor,
 )
+from vast_tpu.models.remat import remat_policy, tag_attention
 from vast_tpu.ops.flash_attention import tmajor_fits_vmem
 
 
@@ -61,6 +62,7 @@ class EvaVitConfig:
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
     # None (default): exact erf GELU (torch nn.GELU parity) in fp32;
     # tanh-approx in bf16. Round-2 measurement at the token-major MLP
     # shapes: tanh fuses completely into the matmul epilogue (6.34 vs
@@ -234,8 +236,8 @@ class EvaAttention(nn.Module):
                 fused = jnp.stack([qb, zb, vb], axis=1)    # (h, 3, d)
                 fused = jnp.pad(fused, [(0, 0), (0, 0), (0, dp - d)])
                 y = y + fused.reshape(1, 1, h * 3 * dp).astype(y.dtype)
-            out = flash_self_attention_tmajor(y, h, l if lp != l else 0,
-                                              1.0)
+            out = tag_attention(
+                flash_self_attention_tmajor(y, h, l if lp != l else 0, 1.0))
             return self.proj(out)[:, :l]
         q, k, v = self.qkv(x)
         if c.qkv_bias:
@@ -359,7 +361,9 @@ class EvaVisionTransformer(nn.Module):
         for blk in self.blocks:
             if c.remat:
                 x = nn.remat(lambda m, y, det: m(y, self.rope_angles, det),
-                             static_argnums=(2,))(blk, x, deterministic)
+                             static_argnums=(2,),
+                             policy=remat_policy(c.remat_policy),
+                             )(blk, x, deterministic)
             else:
                 x = blk(x, self.rope_angles, deterministic)
         return self.norm(x)

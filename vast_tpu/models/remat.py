@@ -1,0 +1,43 @@
+"""Rematerialization policies for encoder blocks.
+
+The reference toggles torch gradient checkpointing per encoder
+(``checkpointing`` — utils/args.py:115, general_module.py:353). Round-2's
+port did the same with all-or-nothing ``nn.remat`` per block, which burns
+~25% of train FLOPs recomputing everything including the matmuls
+(BENCH_NOTES "Known headroom" #4). On TPU the right trade is SELECTIVE:
+save the MXU outputs (projections, MLP matmuls) and the flash-attention
+kernel outputs — the expensive ops — and recompute only the cheap
+VPU elementwise chains (LayerNorm, GELU, residual adds, casts).
+
+``policy('dots')`` is that selective policy; ``policy('full')`` is the
+classic save-nothing remat (the round-2 behavior, minimum memory);
+``policy('none')`` disables remat entirely at the call site.
+
+Attention kernel outputs are tagged via ``checkpoint_name(x, 'attn_out')``
+in ops/attention.py — Pallas custom calls are not dots, so without the
+tag the policy would re-run the whole attention kernel in the backward.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.ad_checkpoint import checkpoint_name
+
+ATTN_NAME = "attn_out"
+
+
+def remat_policy(name: str):
+    """Map a config string to a jax.checkpoint policy (or None = full)."""
+    if name in ("full", "", None):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names(ATTN_NAME),
+        )
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
+def tag_attention(x):
+    """Mark an attention output saveable under the 'dots' policy."""
+    return checkpoint_name(x, ATTN_NAME)

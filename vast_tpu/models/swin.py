@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vast_tpu.models.remat import remat_policy
 from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention
 
@@ -34,6 +35,7 @@ class SwinConfig:
     ln_eps: float = 1e-5
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
 
     @property
     def num_features(self) -> int:
@@ -177,7 +179,8 @@ class SwinTransformer(nn.Module):
 
         dim = c.embed_dim
         for si, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
-            block_cls = nn.remat(SwinBlock) if c.remat else SwinBlock
+            block_cls = (nn.remat(SwinBlock, policy=remat_policy(c.remat_policy))
+                         if c.remat else SwinBlock)
             for bi in range(depth):
                 x = block_cls(
                     c, dim, heads, res,

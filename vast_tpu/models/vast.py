@@ -86,6 +86,7 @@ class VASTConfig:
     ret_bidirection_evaluation: bool = False
     evaluation_type: str = "evaluation_mm"
     checkpointing: bool = False
+    remat_policy: str = "dots"
     frozen_vision: bool = False
     frozen_audio: bool = False
     label_smoothing: float = 0.1
@@ -141,28 +142,33 @@ class VASTConfig:
             base = SWIN_PRESETS[t]
         elif t.startswith("videoswin"):
             return dataclasses.replace(VideoSwinConfig(), dtype=self.dtype,
-                                       remat=self.checkpointing)
+                                       remat=self.checkpointing,
+                                       remat_policy=self.remat_policy)
         else:
             raise NotImplementedError(f"vision encoder {t}")
         return dataclasses.replace(base, image_size=self.vision_resolution,
-                                   dtype=self.dtype, remat=self.checkpointing)
+                                   dtype=self.dtype, remat=self.checkpointing,
+                                   remat_policy=self.remat_policy)
 
     def resolved_audio_cfg(self):
         if self.audio_cfg is not None:
             return self.audio_cfg
         t = self.audio_encoder_type
         if t.startswith("beats"):
-            return BeatsConfig(dtype=self.dtype, remat=self.checkpointing)
+            return BeatsConfig(dtype=self.dtype, remat=self.checkpointing,
+                               remat_policy=self.remat_policy)
         if t.startswith("ast"):
             return AstConfig(audio_melbins=self.audio_melbins,
                              audio_target_length=self.audio_target_length,
-                             dtype=self.dtype, remat=self.checkpointing)
+                             dtype=self.dtype, remat=self.checkpointing,
+                             remat_policy=self.remat_policy)
         raise NotImplementedError(f"audio encoder {t}")
 
     def resolved_bert_cfg(self):
         if self.bert_cfg is not None:
             return self.bert_cfg
-        return BertConfig(dtype=self.dtype, remat=self.checkpointing)
+        return BertConfig(dtype=self.dtype, remat=self.checkpointing,
+                          remat_policy=self.remat_policy)
 
 
 def label_smoothed_ce(logits, targets, smoothing: float):
@@ -514,6 +520,10 @@ class VASTModel(nn.Module):
         else:
             raise KeyError(key)
 
+        # under a dp mesh context, keep per-sample features batch-sharded
+        # so GSPMD never back-propagates param shardings into them
+        from vast_tpu.parallel.mesh import constrain_batch_dim
+        val = constrain_batch_dim(val)
         cache[key] = val
         return val
 

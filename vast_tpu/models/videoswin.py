@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vast_tpu.models.remat import remat_policy
 from vast_tpu.ops.activations import gelu
 from vast_tpu.ops.attention import multi_head_attention
 
@@ -37,6 +38,7 @@ class VideoSwinConfig:
     ln_eps: float = 1e-5
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
 
     @property
     def num_features(self) -> int:
@@ -179,7 +181,8 @@ class VideoSwinTransformer(nn.Module):
                          name="patch_norm")(x.reshape(b, -1, c.embed_dim))
         dim = c.embed_dim
         for si, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
-            block_cls = nn.remat(VideoSwinBlock) if c.remat else VideoSwinBlock
+            block_cls = (nn.remat(VideoSwinBlock, policy=remat_policy(c.remat_policy))
+                         if c.remat else VideoSwinBlock)
             for bi in range(depth):
                 x = block_cls(c, dim, heads, (t, h, w), shifted=bi % 2 == 1,
                               name=f"stage_{si}_block_{bi}")(x)

@@ -165,13 +165,18 @@ def multi_head_attention_hmajor(q, k, v, *, bias=None, mask=None, scale=None,
         scale = d ** -0.5
     add_bias = _prepare_bias(bias, mask)
 
+    # saveable under the selective ('dots') remat policy — pallas calls
+    # are not dots, so without the tag the whole kernel would re-run in
+    # the backward recompute (models/remat.py)
+    from vast_tpu.models.remat import tag_attention
+
     use_pallas = impl == "pallas" or (
         impl == "auto" and _use_pallas_shapes(b, lq, lk, h, d,
                                               add_bias is not None))
     if not use_pallas:
         out = reference_attention(q * jnp.asarray(scale, q.dtype), k, v,
                                   add_bias)
-        return out.astype(q.dtype)
+        return tag_attention(out.astype(q.dtype))
 
     # pad to hardware tiles: D -> 128 lanes, Lq -> sublane granularity.
     # Lk is the lane axis only of the in-register score tile: without a
@@ -201,7 +206,7 @@ def multi_head_attention_hmajor(q, k, v, *, bias=None, mask=None, scale=None,
     out = _flash_fwd(jnp.pad(qs, pad_q), jnp.pad(k, pad_k),
                      jnp.pad(v, pad_k), add_bias, bias is not None,
                      interpret, lk_true)
-    return out[:, :, :lq, :d].astype(q.dtype)
+    return tag_attention(out[:, :, :lq, :d].astype(q.dtype))
 
 
 def multi_head_attention(q, k, v, *, bias=None, mask=None, scale=None,

@@ -143,4 +143,13 @@ def build_optimizer(params, run_cfg, model_cfg, num_train_steps: int):
     tx = optax.multi_transform(transforms, labels)
     if run_cfg.get("grad_norm", -1) and run_cfg.get("clip_grads", False):
         tx = optax.chain(optax.clip_by_global_norm(run_cfg["grad_norm"]), tx)
+    accum = int(run_cfg.get("gradient_accumulation_steps", 1) or 1)
+    if accum > 1:
+        # TRUE gradient accumulation: average grads over `accum`
+        # micro-batches, apply one optimizer update (the reference only
+        # fakes it by shrinking the batch, build_dataloader.py:46 — every
+        # micro-batch there takes its own Adam step). The dataloader still
+        # divides the batch; MetaLoader emits `accum` consecutive
+        # micro-batches per task (data/loader.py).
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, labels

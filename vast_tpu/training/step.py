@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from vast_tpu.parallel.mesh import (
+    combined_param_sharding,
     fsdp_param_sharding,
     replicated,
     tp_param_sharding,
@@ -77,13 +78,25 @@ def make_train_step(model, tx, task: str, mesh=None, fsdp: bool = False,
                           opt_state=opt_state), metrics
 
     # Shardings propagate from the arguments (shard_state / shard_batch put
-    # them on the mesh), so one jit covers single-chip and SPMD.
-    del mesh, fsdp
-    return jax.jit(step_fn, donate_argnums=(0,))
+    # them on the mesh), so one jit covers single-chip and SPMD. When a
+    # mesh is given, trace/run under its context so the model's
+    # constrain_batch_dim pins activations to the data axes (and GSPMD
+    # never reshards them to param layouts).
+    del fsdp
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    if mesh is None:
+        return jitted
+
+    def run(state, batch, rng):
+        with jax.set_mesh(mesh):
+            return jitted(state, batch, rng)
+
+    return run
 
 
 def shard_state(mesh, state: TrainState, fsdp: bool = False,
-                tp: bool = False, tx=None) -> TrainState:
+                tp: bool = False, tx=None,
+                min_size: int | None = None) -> TrainState:
     """Place the train state on the mesh.
 
     ``tp`` shards column/row-parallel kernels over the ``tp`` axis
@@ -94,10 +107,15 @@ def shard_state(mesh, state: TrainState, fsdp: bool = False,
     shards (call shard_state BEFORE restoring a resume checkpoint so the
     restored moments land on the sharded layout).
     """
-    if tp and mesh.shape["tp"] > 1:
-        param_sh = tp_param_sharding(mesh, state.params)
-    elif fsdp and mesh.shape["fsdp"] > 1:
-        param_sh = fsdp_param_sharding(mesh, state.params)
+    use_tp = tp and mesh.shape["tp"] > 1
+    use_fsdp = fsdp and mesh.shape["fsdp"] > 1
+    if use_tp or use_fsdp:
+        # ONE tree for params AND moments: mixing separate tp/fsdp trees
+        # gives conflicting layouts the partitioner resolves by full
+        # rematerialization (MULTICHIP_r02 tail, round-2 verdict weak #4)
+        param_sh = combined_param_sharding(mesh, state.params,
+                                           use_fsdp=use_fsdp, use_tp=use_tp,
+                                           min_size=min_size)
     else:
         return jax.device_put(state, replicated(mesh))
 
@@ -144,5 +162,12 @@ def make_eval_step(model, task: str, mesh=None):
         return model.apply({"params": params}, batch, task,
                            compute_loss=False, deterministic=True)
 
-    del mesh
-    return jax.jit(eval_fn)
+    jitted = jax.jit(eval_fn)
+    if mesh is None:
+        return jitted
+
+    def run(params, batch):
+        with jax.set_mesh(mesh):
+            return jitted(params, batch)
+
+    return run
