@@ -1,14 +1,19 @@
 #!/usr/bin/env python3
 """Benchmark: clips/sec/chip for MSR-VTT-style retrieval, inference + train.
 
-Inference metric (primary, the BASELINE.json north star): the full
-on-device path for one retrieval "clip" — uint8 frames -> device
-resize/normalize -> EVA01-g/14 over 8 frames -> BEATs over 1 fbank clip
-(fbank computed on device from the raw waveform) -> BERT text encode ->
-contrastive features + fused condition features. Host-side video container
-decode runs in the native FFmpeg runtime (runtime/vast_media.cpp) on CPU
-threads concurrently with device compute and is benchmarked separately in
-BENCH_NOTES.md.
+Inference metric (primary): the full on-device path for one retrieval
+"clip" — uint8 frames -> device resize/normalize -> EVA01-g/14 over 8
+frames -> BEATs over 1 fbank clip (fbank computed on device from the raw
+waveform) -> BERT text encode -> contrastive features + fused condition
+features.
+
+Decode+encode north star (BASELINE.md "clips/sec/chip (decode+encode)"):
+``e2e_decode_encode_clips_per_sec_per_chip`` — MSR-VTT-like MPEG4 clips
++ mp3 audio decoded by the native FFmpeg runtime (runtime/vast_media.cpp)
+on host CPU threads concurrently with device compute, feeding the same
+jitted program through a 2-deep queue. ``decode_pool_clips_per_sec`` is
+the host pool's standalone rate; divide by ``host_cores`` for the
+per-core rate that sizes a production host (see BENCH_NOTES.md).
 
 Training metric (extra key): one full ret%tva optimizer step (ITC + ITM
 losses, EVA-g+BEATs+BERT backward, AdamW with bf16 moments, per-block
@@ -23,9 +28,13 @@ H100's ~990; per-chip parity with a 5x target is a multi-chip story
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Estimated reference throughput: VAST PyTorch inference on one H100,
 # fp16, 8-frame EVA01-g/14 (~283 GFLOPs/frame) + BEATs + BERT with CPU
@@ -36,6 +45,8 @@ import numpy as np
 # MAC/FLOP confusion (ViT-g/14 is ~260 GMAC = 520 GFLOP per image).
 # H100 estimate: 35% MFU on 990 bf16 TFLOP/s => 346.5 / 4.382 = 79 clips/s.
 TFLOP_PER_CLIP = 4.382
+TRAIN_TFLOP_PER_CLIP = 17.287  # fwd + remat recompute + bwd + optimizer
+V5E_PEAK_TFLOPS = 197.0        # bf16 dense peak, one v5e chip
 H100_EST_CLIPS_PER_S = 0.35 * 990.0 / TFLOP_PER_CLIP  # ~79.1
 
 INFER_BATCH = 32  # throughput sweet spot measured in round 1
@@ -113,7 +124,108 @@ def bench_inference(model, rs):
         out = infer(params, data)
     float(out)  # drains the in-order device stream -> all iters done
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    return INFER_BATCH * iters / dt
+    return INFER_BATCH * iters / dt, infer, params
+
+
+# ----------------------------------------------------------------------
+# Decode + encode north star (BASELINE.md: "clips/sec/chip (decode+encode)")
+# ----------------------------------------------------------------------
+# MSR-VTT-like fixtures synthesized by the native runtime's own encoder
+# (runtime/vast_media.cpp): 10 s 320x240 clips at 25 fps (MPEG4, GOP 12 —
+# the 8 sampled frames are ~31 apart, under the 256-frame seek threshold,
+# so the decoder walks the whole stream exactly as decord does on real
+# MSR-VTT files: reference data/vision_mapper.py:139-149) plus a 10 s mp3
+# audio track each. Cached across runs in /tmp.
+MEDIA_DIR = "/tmp/vast_bench_media_v1"
+N_CLIPS = 32
+CLIP_FRAMES, CLIP_FPS = 250, 25.0
+AUDIO_SAMPLES = 1024 * 160 + 400  # what the device-fbank path consumes
+
+
+def _make_media_fixtures():
+    import runtime
+
+    if not runtime.media_available():
+        return None
+    os.makedirs(MEDIA_DIR, exist_ok=True)
+    vids, auds = [], []
+    for i in range(N_CLIPS):
+        v = os.path.join(MEDIA_DIR, f"clip_{i}.mp4")
+        a = os.path.join(MEDIA_DIR, f"tone_{i}.mp3")
+        if not os.path.exists(v) and not runtime.encode_video(
+                v, w=320, h=240, n_frames=CLIP_FRAMES, fps=CLIP_FPS):
+            return None
+        if not os.path.exists(a) and not runtime.encode_audio_tone(
+                a, 16000, 160000, freq=200.0 + 13.0 * i):
+            return None
+        vids.append(v)
+        auds.append(a)
+    return vids, auds
+
+
+def _decode_batch(vids, auds, n_threads):
+    """One dataloader unit of work: 8 evenly-sampled frames at 257px
+    (eval sampling, vision_mapper.py:144-148) + the full audio track."""
+    import runtime
+
+    seg = CLIP_FRAMES / 8.0
+    idx = np.tile((np.arange(8) * seg + seg / 2).astype(np.int32),
+                  (len(vids), 1))
+    frames, ok = runtime.decode_video_batch(vids, idx, 257,
+                                            n_threads=n_threads)
+    wavs, valid = runtime.load_audio_batch(auds, AUDIO_SAMPLES,
+                                           n_threads=n_threads)
+    if not (ok.all() and (valid == 1).all()):
+        raise RuntimeError("fixture decode failed")
+    return frames, wavs
+
+
+def bench_decode_standalone(vids, auds, n_threads):
+    _decode_batch(vids[:4], auds[:4], n_threads)  # warm page/file caches
+    t0 = time.perf_counter()
+    passes = 2
+    for _ in range(passes):
+        _decode_batch(vids, auds, n_threads)
+    return passes * len(vids) / (time.perf_counter() - t0)
+
+
+def bench_e2e(infer, params, rs, vids, auds, n_threads):
+    """Sustained decode+encode clips/s: host decode pool on CPU threads
+    feeding the jitted device path through a 2-deep queue (the repo's
+    prefetch pipeline in miniature)."""
+    import queue
+    import threading
+
+    import jax.numpy as jnp
+
+    n_batches = 8
+    q = queue.Queue(maxsize=2)
+
+    def producer():
+        i = 0
+        for _ in range(n_batches):
+            sel = [(i + j) % N_CLIPS for j in range(INFER_BATCH)]
+            i += INFER_BATCH
+            q.put(_decode_batch([vids[s] for s in sel],
+                                [auds[s] for s in sel], n_threads))
+
+    caption = {
+        "caption_tokens": jnp.asarray(
+            rs.randint(1000, 20000, (INFER_BATCH, 40)).astype(np.int32)),
+        "caption_attention_mask": jnp.ones((INFER_BATCH, 40), jnp.int32),
+    }
+    t = threading.Thread(target=producer, daemon=True)
+    t0 = time.perf_counter()
+    t.start()
+    out = None
+    for _ in range(n_batches):
+        frames, wavs = q.get()
+        out = infer(params, dict(caption,
+                                 vision_frames=jnp.asarray(frames),
+                                 audio_waveforms=jnp.asarray(wavs)))
+    float(out)  # drain the device stream
+    t.join()
+    return n_batches * INFER_BATCH / (time.perf_counter() - t0)
 
 
 def bench_train(model, rs):
@@ -169,7 +281,31 @@ def main():
     infer_model = VASTModel(VASTConfig(max_vision_sample_num=8,
                                        max_audio_sample_num=1,
                                        dtype=jnp.bfloat16))
-    infer_clips = bench_inference(infer_model, rs) / n_chips
+    infer_rate, infer, params = bench_inference(infer_model, rs)
+    infer_clips = infer_rate / n_chips
+
+    # decode+encode north star: host video/audio container decode running
+    # concurrently with device compute (BASELINE.md metric definition)
+    n_cores = os.cpu_count() or 1
+    e2e_clips = decode_clips = None
+    try:
+        media = _make_media_fixtures()
+        if media is not None:
+            vids, auds = media
+            decode_clips = round(
+                bench_decode_standalone(vids, auds, n_cores), 2)
+            e2e_clips = round(
+                bench_e2e(infer, params, rs, vids, auds, n_cores)
+                / n_chips, 2)
+    except Exception as e:  # media bench must not sink the primary metric
+        e2e_clips = decode_clips = f"failed: {type(e).__name__}: {e}"
+
+    # free the inference params/executable before training allocates its
+    # state: keeping the ~2 GB bf16 flagship params alive alongside the
+    # train state + remat activations OOMs the 16 GB chip (observed: the
+    # standalone train bench passes, the combined run threw JaxRuntimeError)
+    del infer, params
+    jax.clear_caches()
 
     train_model = VASTModel(VASTConfig(max_vision_sample_num=8,
                                        max_audio_sample_num=1,
@@ -185,8 +321,18 @@ def main():
         "value": round(infer_clips, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(infer_clips / H100_EST_CLIPS_PER_S, 3),
+        "e2e_decode_encode_clips_per_sec_per_chip": e2e_clips,
+        "decode_pool_clips_per_sec": decode_clips,
+        "host_cores": os.cpu_count(),
         "train_clips_per_sec_per_chip": train_clips,
         "train_batch_per_chip": TRAIN_BATCH,
+        # measured silicon utilization — the defensible headline (the
+        # vs_baseline denominator is an estimate; MFU is not)
+        "mfu_inference_pct": round(
+            100 * infer_clips * TFLOP_PER_CLIP / V5E_PEAK_TFLOPS, 1),
+        "mfu_train_pct": (round(
+            100 * train_clips * TRAIN_TFLOP_PER_CLIP / V5E_PEAK_TFLOPS, 1)
+            if isinstance(train_clips, float) else None),
     }))
 
 

@@ -188,6 +188,24 @@ bool fetch_video_frames(const char* path, const int* idx, int k, int target,
   bool have_frame = false;
   bool can_seek = true;  // disabled after a timestamp-less frame
   bool ok = true;
+  // Adaptive keyframe-interval estimate. Sampled fetches (8 of ~250
+  // frames) have gaps far below the conservative 256-frame threshold;
+  // once two keyframes have been observed the stream's GOP is known and
+  // any gap > 2*GOP is cheaper to seek over than to decode through
+  // (decord uses the same trick). A mis-seek that lands before `cur`
+  // only costs one short re-walk and raises the estimate.
+  int64_t last_key = -1, gop_est = -1;
+  auto note_key = [&](int64_t index) {
+#ifdef AV_FRAME_FLAG_KEY
+    const bool key = (frame->flags & AV_FRAME_FLAG_KEY) != 0;
+#else
+    const bool key = frame->key_frame != 0;
+#endif
+    if (!key) return;
+    if (last_key >= 0 && index > last_key)
+      gop_est = std::max(gop_est, index - last_key);
+    last_key = index;
+  };
 
   for (int j = 0; j < k && ok; ++j) {
     const int want = order[j].first;
@@ -199,8 +217,11 @@ bool fetch_video_frames(const char* path, const int* idx, int k, int target,
         ok = frame_to_square(frame, target, slot);
       continue;
     }
-    // long forward gap: keyframe-seek instead of decoding through it
-    if (can_seek && want > cur + 256) {
+    // forward gap worth a keyframe-seek instead of decoding through it
+    const int64_t seek_gap =
+        gop_est > 0 ? std::min<int64_t>(2 * gop_est, 256) : 256;
+    if (can_seek && want > cur + seek_gap) {
+      const int64_t prev = cur;
       const double sec = want / fps_val;
       int64_t start =
           m.st->start_time == AV_NOPTS_VALUE ? 0 : m.st->start_time;
@@ -219,6 +240,9 @@ bool fetch_video_frames(const char* path, const int* idx, int k, int target,
             have_frame = false;
           } else {
             cur = landed;
+            note_key(landed);  // seek lands on a keyframe
+            if (landed <= prev)  // counterproductive: keyframes sparser
+              gop_est = std::max(gop_est, want - landed + 1);
           }
         }
       }
@@ -227,6 +251,7 @@ bool fetch_video_frames(const char* path, const int* idx, int k, int target,
       if (!m.next_frame(frame, pkt)) break;  // EOF: clamp to last frame
       ++cur;
       have_frame = true;
+      note_key(cur);
     }
     if (!have_frame) {
       ok = false;

@@ -378,3 +378,48 @@ def test_token_sliced_self_attention_grads_match_reference():
     # padding-tail grads are exactly zero in both
     np.testing.assert_array_equal(
         np.asarray(g_ts).reshape(b, lp, h, 3, dp)[:, l_true:], 0.0)
+
+
+def test_beats_token_sliced_matches_hmajor_path():
+    """BEATs attention through the token-sliced kernel with the gated
+    rel-pos bias (fwd + param grads) must match the head-major fallback.
+    The path choice is static per backend; force it and run the kernels
+    in interpret mode."""
+    from vast_tpu.models import beats as bt
+    from vast_tpu.models.beats import BeatsAttention, BeatsConfig
+
+    cfg = BeatsConfig(encoder_embed_dim=32, encoder_attention_heads=4,
+                      num_buckets=16, max_distance=32, gru_rel_pos=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 32), jnp.float32)
+    mod = BeatsAttention(cfg, has_relative_attention_bias=True)
+    params = mod.init(jax.random.PRNGKey(1), x)["params"]
+
+    def loss(p, m):
+        out, _ = m.apply({"params": p}, x)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    ref, _ = mod.apply({"params": params}, x)
+    g_ref = jax.grad(loss)(params, mod)
+
+    orig_backend = bt.jax.default_backend
+    orig_plain = bt.flash_self_attention_tmajor
+    orig_biased = bt.flash_self_attention_tmajor_biased
+    bt.jax.default_backend = lambda: "tpu"
+    bt.flash_self_attention_tmajor = (
+        lambda y, h, lk, s: orig_plain(y, h, lk, s, True))
+    bt.flash_self_attention_tmajor_biased = (
+        lambda y, bias, h, lk, s: orig_biased(y, bias, h, lk, s, True))
+    try:
+        out, _ = mod.apply({"params": params}, x)
+        g_ts = jax.grad(loss)(params, mod)
+    finally:
+        bt.jax.default_backend = orig_backend
+        bt.flash_self_attention_tmajor = orig_plain
+        bt.flash_self_attention_tmajor_biased = orig_biased
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4),
+        g_ts, g_ref)

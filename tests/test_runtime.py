@@ -63,14 +63,55 @@ def test_wav_load_matches_python(tmp_path):
     n_samples = 16000
     out, valid = runtime.load_wav_batch([p], n_samples)
     assert valid[0] == 1
-    from vast_tpu.data.audio import read_wav, resample_linear
+    from vast_tpu.data.audio import read_wav, resample_sinc
     ref, sr2 = read_wav(p)
-    ref = resample_linear(ref, sr2, 16000) * 2 ** 15
+    ref = resample_sinc(ref, sr2, 16000) * 2 ** 15
     ref = ref[:n_samples]
-    np.testing.assert_allclose(out[0][: len(ref)], ref, atol=30.0)
+    # both are proper low-pass resamplers (libswresample vs windowed
+    # sinc); edge transients differ, interior samples agree closely
+    np.testing.assert_allclose(out[0][200: len(ref) - 200],
+                               ref[200:-200], atol=60.0)
 
 
 def test_wav_missing_gives_zero(tmp_path):
     out, valid = runtime.load_wav_batch([str(tmp_path / "nope.wav")], 1000)
     assert valid[0] == 0
     assert (out == 0).all()
+
+
+def test_resample_sinc_properties():
+    """Windowed-sinc fallback resampler: tone fidelity, anti-aliasing,
+    and agreement with scipy's polyphase resampler (an independent
+    implementation of the same construction)."""
+    from vast_tpu.data.audio import resample_sinc
+
+    sr, tsr = 44100, 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    y = resample_sinc(x, sr, tsr)
+    assert len(y) == int(np.ceil(len(x) * tsr / sr))
+    mid = y[800:-800].astype(np.float64)
+    freqs = np.fft.rfftfreq(len(mid), 1.0 / tsr)
+    peak = freqs[np.argmax(np.abs(np.fft.rfft(mid)))]
+    assert abs(peak - 440.0) < 2.0
+    # amplitude preserved (linear interp at this ratio loses several %)
+    assert abs(mid.std() - 1 / np.sqrt(2)) < 0.01
+
+    # a tone above the target Nyquist must be strongly attenuated (11 kHz
+    # is past the width-6 filter's transition band; 9 kHz would only see
+    # ~-17 dB, faithful to the torchaudio-default construction)
+    x_hi = np.sin(2 * np.pi * 11000.0 * t).astype(np.float32)
+    y_hi = resample_sinc(x_hi, sr, tsr)
+    assert y_hi[800:-800].std() < 0.03
+    # linear interpolation by contrast ALIASES it back in at ~full power
+    # (that was the round-2 weakness this replaces)
+
+    # cross-check against scipy.signal.resample_poly
+    try:
+        from scipy.signal import resample_poly
+    except ImportError:
+        return
+    y_sp = resample_poly(x.astype(np.float64), tsr // 100, sr // 100)
+    n = min(len(y), len(y_sp))
+    err = np.abs(y[400:n - 400] - y_sp[400:n - 400])
+    assert err.max() < 5e-3, err.max()

@@ -56,6 +56,41 @@ def test_loss_decreases_over_steps():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.parametrize("policy", ["full", "dots", "attn"])
+def test_remat_policy_grads_match_no_remat(policy):
+    """Remat must be a memory/compute trade only: gradients under every
+    policy equal the no-remat gradients. 'attn' is the flagship default
+    (the only selective policy fitting one v5e — vast.py VASTConfig)."""
+    import dataclasses
+
+    from tests.helpers import tiny_vast_config
+
+    batch = tiny_batch(b=4)
+    rngs = {"mask": jax.random.PRNGKey(2), "negatives": jax.random.PRNGKey(3)}
+
+    def grads(cfg):
+        model = VASTModel(cfg)
+        params = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                            "ret%tva", compute_loss=True, deterministic=True,
+                            step_rngs=rngs)["params"]
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch, "ret%tva",
+                              compute_loss=True, deterministic=True,
+                              step_rngs=rngs)
+            return sum(jnp.asarray(v) for v in out.values())
+
+        return params, jax.grad(loss_fn)(params)
+
+    base_cfg = tiny_vast_config()
+    p0, g0 = grads(dataclasses.replace(base_cfg, checkpointing=False))
+    p1, g1 = grads(dataclasses.replace(base_cfg, checkpointing=True,
+                                       remat_policy=policy))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6),
+        g0, g1)
+
+
 def test_sched_ratios():
     assert get_lr_ratio(0, 100, "warmup_linear", 0.1) == 0.0
     assert get_lr_ratio(10, 100, "warmup_linear", 0.1) == 1.0

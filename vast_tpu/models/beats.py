@@ -32,10 +32,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vast_tpu.models.hmajor import HeadMajorDense, HeadMajorOut
+from vast_tpu.models.hmajor import ProjParams
 from vast_tpu.ops.activations import gelu
 from vast_tpu.models.remat import remat_policy, tag_attention
-from vast_tpu.ops.attention import multi_head_attention_hmajor
+from vast_tpu.ops.attention import (
+    flash_self_attention_tmajor,
+    flash_self_attention_tmajor_biased,
+    multi_head_attention_hmajor,
+)
+from vast_tpu.ops.flash_attention import tmajor_fits_vmem
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,13 +94,14 @@ class BeatsAttention(nn.Module):
     def setup(self):
         c = self.cfg
         e = c.encoder_embed_dim
-        h = c.encoder_attention_heads
-        # head-major projections: transpose fused into the matmuls, param
-        # trees identical to nn.Dense (models/hmajor.py)
-        self.q_proj = HeadMajorDense(e, h, dtype=c.dtype)
-        self.k_proj = HeadMajorDense(e, h, dtype=c.dtype)
-        self.v_proj = HeadMajorDense(e, h, dtype=c.dtype)
-        self.out_proj = HeadMajorOut(e, dtype=c.dtype)
+        # raw Dense-compatible param trees (models/hmajor.py ProjParams);
+        # __call__ folds them into the token-sliced fused layout (TPU,
+        # kernel-sized problems) or the head-major einsum fallback — one
+        # checkpoint-compatible tree either way
+        self.q_proj = ProjParams(e, e)
+        self.k_proj = ProjParams(e, e)
+        self.v_proj = ProjParams(e, e)
+        self.out_proj = ProjParams(e, e)
         if self.has_relative_attention_bias:
             self.relative_attention_bias = nn.Embed(c.num_buckets,
                                                     c.encoder_attention_heads)
@@ -117,15 +123,71 @@ class BeatsAttention(nn.Module):
         c = self.cfg
         b, l, e = x.shape
         h, d = c.encoder_attention_heads, c.head_dim
+        dt = c.dtype
         scaling = d ** -0.5
-        alpha = 32.0
 
         if self.has_relative_attention_bias and position_bias is None:
             position_bias = self.compute_bias(l)  # (H, L, L)
 
-        q = self.q_proj(x)  # (B, H, L, D) head-major
-        k = self.k_proj(x)
-        v = self.v_proj(x)
+        wq, bq = self.q_proj()
+        wk, bk = self.k_proj()
+        wv, bv = self.v_proj()
+        wo, bo = self.out_proj()
+
+        # token-sliced fast path (VERDICT r2 #4): ONE fused plain matmul
+        # (full MXU speed) + the Pallas kernel with the gated rel-pos bias
+        # added in-kernel after the scale (reference beats.py:767-769).
+        # With a bias the L x L bias block's lane axis is L, so L must be
+        # a 128 multiple (true at flagship: 512 tokens); otherwise fall
+        # back to head-major (pads and masks are not worth it here).
+        dp = -(-d // 128) * 128
+        token_sliced = (
+            jax.default_backend() == "tpu" and l % 128 == 0
+            and l * l >= 128 * 128
+            and tmajor_fits_vmem(l, dp, jnp.dtype(dt).itemsize,
+                                 has_bias=position_bias is not None))
+        if token_sliced:
+            w4 = jnp.stack([wq.reshape(e, h, d), wk.reshape(e, h, d),
+                            wv.reshape(e, h, d)], axis=2)      # (e, h, 3, d)
+            w4 = jnp.pad(w4, [(0, 0), (0, 0), (0, 0), (0, dp - d)])
+            b4 = jnp.stack([bq.reshape(h, d), bk.reshape(h, d),
+                            bv.reshape(h, d)], axis=1)         # (h, 3, d)
+            b4 = jnp.pad(b4, [(0, 0), (0, 0), (0, dp - d)])
+            y = (x.astype(dt) @ w4.reshape(e, h * 3 * dp).astype(dt)
+                 + b4.reshape(1, 1, h * 3 * dp).astype(dt))
+            bias = None
+            if position_bias is not None:
+                pb = position_bias[None]                       # (1, H, L, L)
+                if c.gru_rel_pos:
+                    # gate from the (unscaled) query: beats.py:905-915
+                    qt = y.reshape(b, l, h, 3, dp)[..., 0, :d]  # (B, L, H, D)
+                    g = self.grep_linear(qt).reshape(b, l, h, 2, 4).sum(-1)
+                    gate_a, gate_b = jnp.split(nn.sigmoid(g), 2, axis=-1)
+                    gate = (gate_a * (gate_b * self.grep_a.reshape(1, 1, h, 1)
+                                      - 1.0) + 2.0)            # (B, L, H, 1)
+                    bias = jnp.transpose(gate, (0, 2, 1, 3)) * pb
+                else:
+                    bias = jnp.broadcast_to(pb, (b, h, l, l))
+                bias = bias.astype(dt)
+            if bias is None:
+                out = flash_self_attention_tmajor(y, h, 0, scaling)
+            else:
+                out = flash_self_attention_tmajor_biased(y, bias, h, 0,
+                                                         scaling)
+            out = tag_attention(out)                           # (B, L, H*Dp)
+            wo3 = jnp.pad(wo.reshape(h, d, e), [(0, 0), (0, dp - d), (0, 0)])
+            return (out @ wo3.reshape(h * dp, e).astype(dt)
+                    + bo.astype(dt)), position_bias
+
+        # head-major fallback: transpose fused into the projection einsums
+        def proj_hm(w, bias_p):
+            yv = jnp.einsum("blw,whd->bhld", x.astype(dt),
+                            w.reshape(e, h, d).astype(dt))
+            return yv + bias_p.reshape(1, h, 1, d).astype(dt)
+
+        q = proj_hm(wq, bq)  # (B, H, L, D)
+        k = proj_hm(wk, bk)
+        v = proj_hm(wv, bv)
 
         bias = None
         if position_bias is not None:
@@ -140,7 +202,9 @@ class BeatsAttention(nn.Module):
         # the alpha trick (q*scale/alpha, (s-max)*alpha) is numerics-neutral
         # under softmax given the gate uses the raw q; fold to plain scaling.
         out = multi_head_attention_hmajor(q, k, v, bias=bias, scale=scaling)
-        return self.out_proj(out), position_bias
+        return (jnp.einsum("bhld,hdw->blw", out,
+                           wo.reshape(h, d, e).astype(dt))
+                + bo.astype(dt)), position_bias
 
 
 class BeatsLayer(nn.Module):

@@ -85,6 +85,26 @@ class HeadMajorOut(nn.Module):
                 + bias.astype(self.dtype))
 
 
+class ProjParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``: declares the identical
+    {kernel, bias} tree but returns the raw arrays so the owner can fold
+    them into a fused/padded layout chosen at trace time (e.g. BEATs
+    picks token-sliced vs head-major per backend/shape while keeping one
+    checkpoint-compatible param tree)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class TokenSlicedQKV(nn.Module):
     """Fused qkv projection for the token-sliced attention kernel: ONE
     plain (B*L, W) x (W, H*3*Dp) matmul emitting (B, L, H*3*Dp) with each

@@ -9,9 +9,14 @@ save the MXU outputs (projections, MLP matmuls) and the flash-attention
 kernel outputs — the expensive ops — and recompute only the cheap
 VPU elementwise chains (LayerNorm, GELU, residual adds, casts).
 
-``policy('dots')`` is that selective policy; ``policy('full')`` is the
-classic save-nothing remat (the round-2 behavior, minimum memory);
-``policy('none')`` disables remat entirely at the call site.
+``policy('dots')`` is that selective policy; ``policy('attn')`` saves
+ONLY the tagged attention-kernel outputs and recomputes the projection/
+MLP matmuls — the memory-lean middle ground (on one v5e the flagship
+train step OOMs under 'dots': saving every dot output costs ~570 MB per
+EVA-g block x 40 blocks ≈ 23 GB vs the 15.75 GB HBM; 'attn' saves
+~68 MB/block and skips re-running the Pallas kernels, which full remat
+cannot avoid). ``policy('full')`` is the classic save-nothing remat
+(minimum memory); ``policy('none')`` disables remat at the call site.
 
 Attention kernel outputs are tagged via ``checkpoint_name(x, 'attn_out')``
 in ops/attention.py — Pallas custom calls are not dots, so without the
@@ -35,6 +40,8 @@ def remat_policy(name: str):
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names(ATTN_NAME),
         )
+    if name == "attn":
+        return jax.checkpoint_policies.save_only_these_names(ATTN_NAME)
     raise ValueError(f"unknown remat policy {name!r}")
 
 

@@ -86,7 +86,12 @@ class VASTConfig:
     ret_bidirection_evaluation: bool = False
     evaluation_type: str = "evaluation_mm"
     checkpointing: bool = False
-    remat_policy: str = "dots"
+    # 'attn' (save attention-kernel outputs only) is the only selective
+    # policy that FITS flagship training on one v5e: 'dots' additionally
+    # saves every projection/MLP matmul output (~570 MB x 40 EVA blocks =
+    # 23 GB > 15.75 GB HBM — measured OOM, round 3). Use 'dots' on
+    # fsdp-sharded multi-chip slices where activations amortize.
+    remat_policy: str = "attn"
     frozen_vision: bool = False
     frozen_audio: bool = False
     label_smoothing: float = 0.1

@@ -124,11 +124,49 @@ def _tmajor_bwd(heads, lk_true, scale, interpret, residuals, g):
 flash_self_attention_tmajor.defvjp(_tmajor_fwd, _tmajor_bwd)
 
 
+# Biased variant (BEATs gated rel-pos): bias (B, H, Lp, Lp) added to the
+# scaled scores in-kernel; its cotangent is the raw per-score ds — the
+# chain through the gate/embedding happens in XLA outside the kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def flash_self_attention_tmajor_biased(qkv, bias, heads, lk_true, scale,
+                                       interpret=False):
+    from vast_tpu.ops.flash_attention import self_attention_tmajor
+    return self_attention_tmajor(qkv, bias, heads=heads, lk_true=lk_true,
+                                 scale=scale, interpret=interpret)
+
+
+def _tmajor_biased_fwd(qkv, bias, heads, lk_true, scale, interpret=False):
+    out = flash_self_attention_tmajor_biased(qkv, bias, heads, lk_true,
+                                             scale, interpret)
+    return out, (qkv, bias, out)
+
+
+def _tmajor_biased_bwd(heads, lk_true, scale, interpret, residuals, g):
+    from vast_tpu.ops.flash_attention import self_attention_tmajor_bwd
+    qkv, bias, out = residuals
+    dqkv, dbias = self_attention_tmajor_bwd(
+        qkv, out, g.astype(qkv.dtype), bias, heads=heads, lk_true=lk_true,
+        scale=scale, interpret=interpret)
+    return dqkv, dbias
+
+
+flash_self_attention_tmajor_biased.defvjp(_tmajor_biased_fwd,
+                                          _tmajor_biased_bwd)
+
+
 def _use_pallas_shapes(b, lq, lk, h, d, has_bias=True) -> bool:
     if jax.default_backend() != "tpu":
         return False
     if lq * lk < 128 * 128:
         # tiny problems: XLA fusion wins over kernel launch overhead
+        return False
+    if d < 128 and lk >= 8 * lq:
+        # long-KV / short-Q (BERT fusion cross-attention: 40 caption
+        # tokens against ~2312 condition tokens at Dh=64): the problem is
+        # KV-bandwidth-bound and the kernel's 128-lane head-dim pad
+        # doubles exactly that traffic; in the backward the padded K/V
+        # temps (163 MB x 12 layers at flagship batch 8) OOMed one v5e.
+        # XLA's unpadded path is leaner and no slower here (round 3).
         return False
     # when tile padding inflates the kernel's compute too much (very short
     # queries/keys or tiny head dims), XLA wins. Without a bias array Lk

@@ -694,13 +694,16 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
 # ---------------------------------------------------------------------------
 
 
-def tmajor_fits_vmem(lp: int, dp: int, itemsize: int) -> bool:
+def tmajor_fits_vmem(lp: int, dp: int, itemsize: int,
+                     has_bias: bool = False) -> bool:
     """Whether the token-sliced BACKWARD fits the VMEM budget at g=1
     (8 L x D tensor blocks: qkv + dqkv at 3*Dp, o + do at Dp; plus 4
-    fp32 L x L score tiles: s, p, dp, ds). Call-site gate: beyond this
-    (e.g. EVA at 448px, lp=1040 -> ~19 MB) the model must route to the
-    head-major flash path instead of compile-crashing (advisor r2)."""
-    per_g = 8 * lp * dp * itemsize + 4 * lp * lp * 4
+    fp32 L x L score tiles: s, p, dp, ds — 6 with an additive bias,
+    whose input and cotangent blocks are L x L too). Call-site gate:
+    beyond this (e.g. EVA at 448px, lp=1040 -> ~19 MB) the model must
+    route to the head-major flash path instead of compile-crashing
+    (advisor r2)."""
+    per_g = 8 * lp * dp * itemsize + (6 if has_bias else 4) * lp * lp * 4
     return per_g <= 13 * 2 ** 20
 
 
@@ -715,7 +718,7 @@ def _tmajor_g(lp, dp, dtype_size, tensors, scores, batch):
 
 
 def _tmajor_fwd_kernel(qkv_ref, o_ref, *, dp: int, lk_true: int,
-                       scale: float):
+                       scale: float, bias_ref=None):
     blk = qkv_ref[...]                            # (G, Lp, 3*Dp)
     q = blk[..., :dp]
     k = blk[..., dp:2 * dp]
@@ -725,6 +728,8 @@ def _tmajor_fwd_kernel(qkv_ref, o_ref, *, dp: int, lk_true: int,
         preferred_element_type=jnp.float32)       # (G, Lp, Lp)
     if scale != 1.0:
         s = s * scale
+    if bias_ref is not None:
+        s = s + bias_ref[:, 0].astype(jnp.float32)  # (G, 1, Lp, Lp) block
     if lk_true:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < lk_true, s, NEG_INF)
@@ -737,8 +742,15 @@ def _tmajor_fwd_kernel(qkv_ref, o_ref, *, dp: int, lk_true: int,
     o_ref[...] = o.astype(o_ref.dtype)
 
 
+def _tmajor_fwd_kernel_bias(qkv_ref, bias_ref, o_ref, *, dp: int,
+                            lk_true: int, scale: float):
+    _tmajor_fwd_kernel(qkv_ref, o_ref, dp=dp, lk_true=lk_true, scale=scale,
+                       bias_ref=bias_ref)
+
+
 def _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, dp: int,
-                       lk_true: int, scale: float):
+                       lk_true: int, scale: float, bias_ref=None,
+                       dbias_ref=None):
     blk = qkv_ref[...]
     q = blk[..., :dp]
     k = blk[..., dp:2 * dp]
@@ -748,6 +760,8 @@ def _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, dp: int,
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[:, 0].astype(jnp.float32)
     if lk_true:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < lk_true, s, NEG_INF)
@@ -762,7 +776,9 @@ def _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, dp: int,
     dpv = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    ds = p * (dpv - delta)
+    ds = p * (dpv - delta)                        # d(score before *scale)
+    if dbias_ref is not None:
+        dbias_ref[...] = ds[:, None].astype(dbias_ref.dtype)
     dsc = ds.astype(q.dtype)
     dk = jax.lax.dot_general(
         dsc, q, (((1,), (1,)), ((0,), (0,))),
@@ -775,9 +791,17 @@ def _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, dp: int,
     dqkv_ref[..., 2 * dp:] = dv.astype(dqkv_ref.dtype)
 
 
+def _tmajor_bwd_kernel_bias(qkv_ref, bias_ref, o_ref, do_ref, dqkv_ref,
+                            dbias_ref, *, dp: int, lk_true: int,
+                            scale: float):
+    _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, dp=dp,
+                       lk_true=lk_true, scale=scale, bias_ref=bias_ref,
+                       dbias_ref=dbias_ref)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("heads", "lk_true", "scale", "interpret"))
-def self_attention_tmajor(qkv, *, heads: int, lk_true: int = 0,
+def self_attention_tmajor(qkv, bias=None, *, heads: int, lk_true: int = 0,
                           scale: float = 1.0, interpret: bool = False):
     """Self-attention over a fused token-major qkv tensor.
 
@@ -785,45 +809,86 @@ def self_attention_tmajor(qkv, *, heads: int, lk_true: int = 0,
     reshaped weights order each head's [q | k | v] contiguously, each
     section Dp (lane-multiple) wide, Lp a sublane multiple. Returns
     (B, Lp, H*Dp). ``lk_true`` masks key tile padding in-kernel;
-    ``scale`` is applied to the scores (fp32).
+    ``scale`` is applied to the scores (fp32). ``bias`` is an optional
+    additive (B, H, Lp, Lp) score bias, added AFTER the scale (BEATs'
+    gated rel-pos semantics, reference beats.py:767-769); with a bias Lp
+    must be a 128 multiple (it is the bias block's lane axis).
     """
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
-    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 4, 2, b)
+    n_scores = 2 if bias is None else 3
+    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 4, n_scores, b)
+    in_specs = [pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih))]
+    ops = [qkv]
+    if bias is None:
+        kern = functools.partial(_tmajor_fwd_kernel, dp=dp, lk_true=lk_true,
+                                 scale=scale)
+    else:
+        kern = functools.partial(_tmajor_fwd_kernel_bias, dp=dp,
+                                 lk_true=lk_true, scale=scale)
+        in_specs.append(
+            pl.BlockSpec((g, 1, lp, lp), lambda ib, ih: (ib, ih, 0, 0)))
+        ops.append(bias)
     return pl.pallas_call(
-        functools.partial(_tmajor_fwd_kernel, dp=dp, lk_true=lk_true,
-                          scale=scale),
+        kern,
         grid=(b // g, heads),
-        in_specs=[pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
         out_shape=jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(qkv)
+    )(*ops)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("heads", "lk_true", "scale", "interpret"))
-def self_attention_tmajor_bwd(qkv, o, do, *, heads: int, lk_true: int = 0,
-                              scale: float = 1.0, interpret: bool = False):
+def self_attention_tmajor_bwd(qkv, o, do, bias=None, *, heads: int,
+                              lk_true: int = 0, scale: float = 1.0,
+                              interpret: bool = False):
     """Gradient w.r.t. the fused qkv tensor, same per-head [dq | dk | dv]
-    layout, recomputing softmax and delta in-kernel from (qkv, o, do)."""
+    layout, recomputing softmax and delta in-kernel from (qkv, o, do).
+    With ``bias``, returns (dqkv, dbias) where dbias is the raw per-score
+    cotangent (B, H, Lp, Lp) in the bias dtype (callers reduce broadcast
+    axes / chain through the gate outside the kernel)."""
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
-    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 8, 4, b)
+    n_scores = 4 if bias is None else 6
+    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 8, n_scores, b)
+    in_specs = [
+        pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih)),
+        pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+        pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+    ]
+    if bias is None:
+        return pl.pallas_call(
+            functools.partial(_tmajor_bwd_kernel, dp=dp, lk_true=lk_true,
+                              scale=scale),
+            grid=(b // g, heads),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((g, lp, 3 * dp),
+                                   lambda ib, ih: (ib, 0, ih)),
+            out_shape=jax.ShapeDtypeStruct((b, lp, total), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(qkv, o, do)
+    in_specs.insert(1, pl.BlockSpec((g, 1, lp, lp),
+                                    lambda ib, ih: (ib, ih, 0, 0)))
     return pl.pallas_call(
-        functools.partial(_tmajor_bwd_kernel, dp=dp, lk_true=lk_true,
+        functools.partial(_tmajor_bwd_kernel_bias, dp=dp, lk_true=lk_true,
                           scale=scale),
         grid=(b // g, heads),
-        in_specs=[
+        in_specs=in_specs,
+        out_specs=[
             pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih)),
-            pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
-            pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+            pl.BlockSpec((g, 1, lp, lp), lambda ib, ih: (ib, ih, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih)),
-        out_shape=jax.ShapeDtypeStruct((b, lp, total), qkv.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lp, total), qkv.dtype),
+            jax.ShapeDtypeStruct((b, heads, lp, lp), bias.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(qkv, o, do)
+    )(qkv, bias, o, do)
