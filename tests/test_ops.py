@@ -423,3 +423,79 @@ def test_beats_token_sliced_matches_hmajor_path():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4),
         g_ts, g_ref)
+
+
+def test_grouped_unpadded_token_sliced_matches_reference():
+    """hc>1 head-grouping (unpadded head width): h=4, dp=64 -> hc=2 —
+    fwd + grads vs the naive reference, plus head_packing's fallback
+    rule. The per-head q/k/v slices are cut in-VMEM at non-lane-aligned
+    offsets; values and grads must be identical to the padded layout's."""
+    from vast_tpu.ops.attention import flash_self_attention_tmajor
+    from vast_tpu.ops.flash_attention import head_packing
+
+    assert head_packing(88, 16) == 88       # EVA-g: hc=16 divides 16
+    assert head_packing(64, 12) == 64       # BEATs: hc=2 divides 12
+    assert head_packing(88, 8) == 128       # hc=16 doesn't divide 8
+    assert head_packing(128, 7) == 128      # already aligned: hc=1
+
+    b, lp, h, dp, l_true = 2, 32, 4, 64, 27
+    y = jax.random.normal(jax.random.PRNGKey(5), (b, lp, 3 * h * dp),
+                          jnp.float32)
+
+    def naive(y):
+        qkv = y.reshape(b, lp, h, 3, dp)
+        q = jnp.swapaxes(qkv[:, :, :, 0], 1, 2)[:, :, :l_true]
+        k = jnp.swapaxes(qkv[:, :, :, 1], 1, 2)[:, :, :l_true]
+        v = jnp.swapaxes(qkv[:, :, :, 2], 1, 2)[:, :, :l_true]
+        out = reference_attention(q, k, v)
+        return jnp.swapaxes(out, 1, 2).reshape(b, l_true, h * dp)
+
+    o_ts = flash_self_attention_tmajor(y, h, l_true, 1.0, True)
+    np.testing.assert_allclose(np.asarray(o_ts[:, :l_true]),
+                               np.asarray(naive(y)), atol=2e-5, rtol=2e-5)
+
+    def loss_ts(y):
+        out = flash_self_attention_tmajor(y, h, l_true, 1.0, True)
+        return (out[:, :l_true].astype(jnp.float32) ** 2).sum()
+
+    g_ts = jax.grad(loss_ts)(y)
+    g_ref = jax.grad(lambda y: (naive(y) ** 2).sum())(y)
+    np.testing.assert_allclose(np.asarray(g_ts), np.asarray(g_ref),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(g_ts).reshape(b, lp, h, 3, dp)[:, l_true:], 0.0)
+
+
+def test_grouped_biased_token_sliced_matches_reference():
+    """hc=2 grouping with an additive score bias (the BEATs layout):
+    fwd + dqkv + dbias vs the naive reference."""
+    from vast_tpu.ops.attention import flash_self_attention_tmajor_biased
+
+    b, lp, h, dp = 2, 128, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(6), 2)
+    y = jax.random.normal(ks[0], (b, lp, 3 * h * dp), jnp.float32)
+    bias = jax.random.normal(ks[1], (b, h, lp, lp), jnp.float32)
+
+    def naive(y, bias):
+        qkv = y.reshape(b, lp, h, 3, dp)
+        q = jnp.swapaxes(qkv[:, :, :, 0], 1, 2)
+        k = jnp.swapaxes(qkv[:, :, :, 1], 1, 2)
+        v = jnp.swapaxes(qkv[:, :, :, 2], 1, 2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) + bias
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return jnp.swapaxes(out, 1, 2).reshape(b, lp, h * dp)
+
+    o_ts = flash_self_attention_tmajor_biased(y, bias, h, 0, 1.0, True)
+    np.testing.assert_allclose(np.asarray(o_ts), np.asarray(naive(y, bias)),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss(fn):
+        return lambda y, bias: (fn(y, bias).astype(jnp.float32) ** 2).sum()
+
+    g_ts = jax.grad(loss(lambda y, b_: flash_self_attention_tmajor_biased(
+        y, b_, h, 0, 1.0, True)), argnums=(0, 1))(y, bias)
+    g_ref = jax.grad(loss(naive), argnums=(0, 1))(y, bias)
+    for a, r in zip(g_ts, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3)

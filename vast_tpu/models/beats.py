@@ -40,7 +40,7 @@ from vast_tpu.ops.attention import (
     flash_self_attention_tmajor_biased,
     multi_head_attention_hmajor,
 )
-from vast_tpu.ops.flash_attention import tmajor_fits_vmem
+from vast_tpu.ops.flash_attention import head_packing, tmajor_fits_vmem
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,11 +140,12 @@ class BeatsAttention(nn.Module):
         # With a bias the L x L bias block's lane axis is L, so L must be
         # a 128 multiple (true at flagship: 512 tokens); otherwise fall
         # back to head-major (pads and masks are not worth it here).
-        dp = -(-d // 128) * 128
+        # BEATs d=64 packs 2 heads per kernel block -> zero pad lanes
+        dp = head_packing(d, h)
         token_sliced = (
             jax.default_backend() == "tpu" and l % 128 == 0
             and l * l >= 128 * 128
-            and tmajor_fits_vmem(l, dp, jnp.dtype(dt).itemsize,
+            and tmajor_fits_vmem(l, dp, jnp.dtype(dt).itemsize, heads=h,
                                  has_bias=position_bias is not None))
         if token_sliced:
             w4 = jnp.stack([wq.reshape(e, h, d), wk.reshape(e, h, d),

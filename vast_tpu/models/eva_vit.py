@@ -39,7 +39,7 @@ from vast_tpu.ops.attention import (
     multi_head_attention_hmajor,
 )
 from vast_tpu.models.remat import remat_policy, tag_attention
-from vast_tpu.ops.flash_attention import tmajor_fits_vmem
+from vast_tpu.ops.flash_attention import head_packing, tmajor_fits_vmem
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,14 +168,17 @@ class EvaAttention(nn.Module):
             # problem. Param trees are identical either way.
             l = c.num_patches + 1
             lp = -(-l // 16) * 16
-            dp = -(-c.head_width // 128) * 128
+            # unpadded head width when the kernel's head-grouping divides
+            # num_heads (EVA-g: 16 heads x 88 -> hc=16, zero pad lanes;
+            # measured +10% on the projection+attention chain, round 3)
+            dp = head_packing(c.head_width, c.num_heads)
             self.token_sliced = (
                 jax.default_backend() == "tpu" and not c.rope
                 and l * l >= 128 * 128
                 # the backward block must fit VMEM at g=1 — at 448px
                 # (lp=1040) it doesn't; fall back to head-major flash
-                and tmajor_fits_vmem(lp, dp,
-                                     jnp.dtype(c.dtype).itemsize))
+                and tmajor_fits_vmem(lp, dp, jnp.dtype(c.dtype).itemsize,
+                                     heads=c.num_heads))
             if self.token_sliced:
                 self.qkv = TokenSlicedQKV(all_dim, c.num_heads, dtype=c.dtype,
                                           pad_head_dim=dp,

@@ -21,6 +21,7 @@ wrapper in ``ops/attention.py``.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -694,107 +695,141 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
 # ---------------------------------------------------------------------------
 
 
-def tmajor_fits_vmem(lp: int, dp: int, itemsize: int,
+def head_packing(d: int, heads: int) -> int:
+    """Lane-padded per-head width Dp for the token-sliced kernels.
+
+    The kernel groups hc = 128/gcd(Dp, 128) heads per block so the block
+    lane count hc*3*Dp is 128-aligned. When that hc divides ``heads`` the
+    TRUE head width needs no padding at all (EVA-g d=88 -> hc=16, BEATs
+    d=64 -> hc=2): the per-head q/k/v slices are cut in-VMEM with lane
+    rotations, which measure ~10% FASTER than carrying 88->128 zero-lanes
+    through the projections (BENCH_NOTES round 3, adopt note). Only when
+    hc doesn't divide ``heads`` fall back to one padded 128-lane head per
+    block."""
+    if heads % (128 // math.gcd(d, 128)) == 0:
+        return d
+    return -(-d // 128) * 128
+
+
+def _hc_for(dp: int, heads: int) -> int:
+    """Heads per kernel block: smallest hc making hc*3*Dp lane-aligned
+    (3 is odd, so the condition is hc*Dp % 128 == 0)."""
+    hc = 128 // math.gcd(dp, 128)
+    assert heads % hc == 0, (dp, heads)
+    return hc
+
+
+def tmajor_fits_vmem(lp: int, dp: int, itemsize: int, heads: int = 1,
                      has_bias: bool = False) -> bool:
     """Whether the token-sliced BACKWARD fits the VMEM budget at g=1
-    (8 L x D tensor blocks: qkv + dqkv at 3*Dp, o + do at Dp; plus 4
-    fp32 L x L score tiles: s, p, dp, ds — 6 with an additive bias,
-    whose input and cotangent blocks are L x L too). Call-site gate:
-    beyond this (e.g. EVA at 448px, lp=1040 -> ~19 MB) the model must
-    route to the head-major flash path instead of compile-crashing
-    (advisor r2)."""
-    per_g = 8 * lp * dp * itemsize + (6 if has_bias else 4) * lp * lp * 4
+    (8 L x D tensor blocks per head-group: qkv + dqkv at 3*Dp, o + do at
+    Dp, hc heads per block; plus 4 fp32 L x L score tiles: s, p, dp, ds —
+    with an additive bias, 2 more L x L blocks PER grouped head for the
+    bias input and cotangent). Call-site gate: beyond this (e.g. EVA at
+    448px, lp=1040 -> ~23 MB) the model must route to the head-major
+    flash path instead of compile-crashing (advisor r2)."""
+    hc = 128 // math.gcd(dp, 128)
+    if heads % hc:
+        hc = 1
+    scores = 4 + (2 * hc if has_bias else 0)
+    per_g = 8 * lp * hc * dp * itemsize + scores * lp * lp * 4
     return per_g <= 13 * 2 ** 20
 
 
-def _tmajor_g(lp, dp, dtype_size, tensors, scores, batch):
+def _tmajor_g(lp, width, dtype_size, tensors, scores, batch):
     """Largest G in (8,4,2,1) dividing ``batch`` whose VMEM footprint
-    (``tensors`` L x D blocks + ``scores`` fp32 L x L tiles) fits."""
-    per_g = tensors * lp * dp * dtype_size + scores * lp * lp * 4
+    (``tensors`` L x ``width`` blocks + ``scores`` fp32 L x L tiles)
+    fits."""
+    per_g = tensors * lp * width * dtype_size + scores * lp * lp * 4
     for cand in (8, 4, 2):
         if batch % cand == 0 and cand * per_g <= 13 * 2 ** 20:
             return cand
     return 1
 
 
-def _tmajor_fwd_kernel(qkv_ref, o_ref, *, dp: int, lk_true: int,
+def _tmajor_fwd_kernel(qkv_ref, o_ref, *, dp: int, hc: int, lk_true: int,
                        scale: float, bias_ref=None):
-    blk = qkv_ref[...]                            # (G, Lp, 3*Dp)
-    q = blk[..., :dp]
-    k = blk[..., dp:2 * dp]
-    v = blk[..., 2 * dp:]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)       # (G, Lp, Lp)
-    if scale != 1.0:
-        s = s * scale
-    if bias_ref is not None:
-        s = s + bias_ref[:, 0].astype(jnp.float32)  # (G, 1, Lp, Lp) block
-    if lk_true:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < lk_true, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    o_ref[...] = o.astype(o_ref.dtype)
+    blk = qkv_ref[...]                            # (G, Lp, hc*3*Dp)
+    for i in range(hc):
+        base = i * 3 * dp
+        q = blk[..., base:base + dp]
+        k = blk[..., base + dp:base + 2 * dp]
+        v = blk[..., base + 2 * dp:base + 3 * dp]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)   # (G, Lp, Lp)
+        if scale != 1.0:
+            s = s * scale
+        if bias_ref is not None:
+            s = s + bias_ref[:, i].astype(jnp.float32)  # (G, hc, Lp, Lp)
+        if lk_true:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < lk_true, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[..., i * dp:(i + 1) * dp] = o.astype(o_ref.dtype)
 
 
-def _tmajor_fwd_kernel_bias(qkv_ref, bias_ref, o_ref, *, dp: int,
+def _tmajor_fwd_kernel_bias(qkv_ref, bias_ref, o_ref, *, dp: int, hc: int,
                             lk_true: int, scale: float):
-    _tmajor_fwd_kernel(qkv_ref, o_ref, dp=dp, lk_true=lk_true, scale=scale,
-                       bias_ref=bias_ref)
+    _tmajor_fwd_kernel(qkv_ref, o_ref, dp=dp, hc=hc, lk_true=lk_true,
+                       scale=scale, bias_ref=bias_ref)
 
 
 def _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, *, dp: int,
-                       lk_true: int, scale: float, bias_ref=None,
+                       hc: int, lk_true: int, scale: float, bias_ref=None,
                        dbias_ref=None):
-    blk = qkv_ref[...]
-    q = blk[..., :dp]
-    k = blk[..., dp:2 * dp]
-    v = blk[..., 2 * dp:]
-    o = o_ref[...].astype(jnp.float32)
-    do = do_ref[...]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
-    if bias_ref is not None:
-        s = s + bias_ref[:, 0].astype(jnp.float32)
-    if lk_true:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < lk_true, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / l                                     # (G, Lp, Lp) fp32
-    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
-    dv = jax.lax.dot_general(
-        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dpv = jax.lax.dot_general(
-        do, v, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    ds = p * (dpv - delta)                        # d(score before *scale)
-    if dbias_ref is not None:
-        dbias_ref[...] = ds[:, None].astype(dbias_ref.dtype)
-    dsc = ds.astype(q.dtype)
-    dk = jax.lax.dot_general(
-        dsc, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
-    dq = jax.lax.dot_general(
-        dsc, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
-    dqkv_ref[..., :dp] = dq.astype(dqkv_ref.dtype)
-    dqkv_ref[..., dp:2 * dp] = dk.astype(dqkv_ref.dtype)
-    dqkv_ref[..., 2 * dp:] = dv.astype(dqkv_ref.dtype)
+    blk = qkv_ref[...]                            # (G, Lp, hc*3*Dp)
+    for i in range(hc):
+        base = i * 3 * dp
+        q = blk[..., base:base + dp]
+        k = blk[..., base + dp:base + 2 * dp]
+        v = blk[..., base + 2 * dp:base + 3 * dp]
+        o = o_ref[..., i * dp:(i + 1) * dp].astype(jnp.float32)
+        do = do_ref[..., i * dp:(i + 1) * dp]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[:, i].astype(jnp.float32)
+        if lk_true:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < lk_true, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / l                                 # (G, Lp, Lp) fp32
+        delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dpv = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dpv - delta)                    # d(score before *scale)
+        if dbias_ref is not None:
+            dbias_ref[:, i] = ds.astype(dbias_ref.dtype)
+        dsc = ds.astype(q.dtype)
+        dk = jax.lax.dot_general(
+            dsc, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dq = jax.lax.dot_general(
+            dsc, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dqkv_ref[..., base:base + dp] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[..., base + dp:base + 2 * dp] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[..., base + 2 * dp:base + 3 * dp] = dv.astype(
+            dqkv_ref.dtype)
 
 
 def _tmajor_bwd_kernel_bias(qkv_ref, bias_ref, o_ref, do_ref, dqkv_ref,
-                            dbias_ref, *, dp: int, lk_true: int,
+                            dbias_ref, *, dp: int, hc: int, lk_true: int,
                             scale: float):
-    _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, dp=dp,
+    _tmajor_bwd_kernel(qkv_ref, o_ref, do_ref, dqkv_ref, dp=dp, hc=hc,
                        lk_true=lk_true, scale=scale, bias_ref=bias_ref,
                        dbias_ref=dbias_ref)
 
@@ -807,33 +842,38 @@ def self_attention_tmajor(qkv, bias=None, *, heads: int, lk_true: int = 0,
 
     qkv: (B, Lp, H*3*Dp) — the raw output of one projection matmul whose
     reshaped weights order each head's [q | k | v] contiguously, each
-    section Dp (lane-multiple) wide, Lp a sublane multiple. Returns
-    (B, Lp, H*Dp). ``lk_true`` masks key tile padding in-kernel;
-    ``scale`` is applied to the scores (fp32). ``bias`` is an optional
-    additive (B, H, Lp, Lp) score bias, added AFTER the scale (BEATs'
-    gated rel-pos semantics, reference beats.py:767-769); with a bias Lp
-    must be a 128 multiple (it is the bias block's lane axis).
+    section Dp wide, Lp a sublane multiple. Dp may be the TRUE head width
+    (no lane padding): the kernel groups hc = 128/gcd(Dp, 128) heads per
+    block (hc must divide H — use ``head_packing`` at the call site) and
+    cuts per-head slices in-VMEM. Returns (B, Lp, H*Dp). ``lk_true``
+    masks key tile padding in-kernel; ``scale`` is applied to the scores
+    (fp32). ``bias`` is an optional additive (B, H, Lp, Lp) score bias,
+    added AFTER the scale (BEATs' gated rel-pos semantics, reference
+    beats.py:767-769); with a bias Lp must be a 128 multiple (it is the
+    bias block's lane axis).
     """
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
-    n_scores = 2 if bias is None else 3
-    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 4, n_scores, b)
-    in_specs = [pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih))]
+    hc = _hc_for(dp, heads)
+    n_scores = 2 if bias is None else 2 + hc
+    g = _tmajor_g(lp, hc * dp, qkv.dtype.itemsize, 4, n_scores, b)
+    in_specs = [pl.BlockSpec((g, lp, hc * 3 * dp),
+                             lambda ib, ih: (ib, 0, ih))]
     ops = [qkv]
     if bias is None:
-        kern = functools.partial(_tmajor_fwd_kernel, dp=dp, lk_true=lk_true,
-                                 scale=scale)
+        kern = functools.partial(_tmajor_fwd_kernel, dp=dp, hc=hc,
+                                 lk_true=lk_true, scale=scale)
     else:
-        kern = functools.partial(_tmajor_fwd_kernel_bias, dp=dp,
+        kern = functools.partial(_tmajor_fwd_kernel_bias, dp=dp, hc=hc,
                                  lk_true=lk_true, scale=scale)
         in_specs.append(
-            pl.BlockSpec((g, 1, lp, lp), lambda ib, ih: (ib, ih, 0, 0)))
+            pl.BlockSpec((g, hc, lp, lp), lambda ib, ih: (ib, ih, 0, 0)))
         ops.append(bias)
     return pl.pallas_call(
         kern,
-        grid=(b // g, heads),
+        grid=(b // g, heads // hc),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+        out_specs=pl.BlockSpec((g, lp, hc * dp), lambda ib, ih: (ib, 0, ih)),
         out_shape=jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -853,36 +893,37 @@ def self_attention_tmajor_bwd(qkv, o, do, bias=None, *, heads: int,
     axes / chain through the gate outside the kernel)."""
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
-    n_scores = 4 if bias is None else 6
-    g = _tmajor_g(lp, dp, qkv.dtype.itemsize, 8, n_scores, b)
+    hc = _hc_for(dp, heads)
+    n_scores = 4 if bias is None else 4 + 2 * hc
+    g = _tmajor_g(lp, hc * dp, qkv.dtype.itemsize, 8, n_scores, b)
     in_specs = [
-        pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih)),
-        pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
-        pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+        pl.BlockSpec((g, lp, hc * 3 * dp), lambda ib, ih: (ib, 0, ih)),
+        pl.BlockSpec((g, lp, hc * dp), lambda ib, ih: (ib, 0, ih)),
+        pl.BlockSpec((g, lp, hc * dp), lambda ib, ih: (ib, 0, ih)),
     ]
     if bias is None:
         return pl.pallas_call(
-            functools.partial(_tmajor_bwd_kernel, dp=dp, lk_true=lk_true,
-                              scale=scale),
-            grid=(b // g, heads),
+            functools.partial(_tmajor_bwd_kernel, dp=dp, hc=hc,
+                              lk_true=lk_true, scale=scale),
+            grid=(b // g, heads // hc),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((g, lp, 3 * dp),
+            out_specs=pl.BlockSpec((g, lp, hc * 3 * dp),
                                    lambda ib, ih: (ib, 0, ih)),
             out_shape=jax.ShapeDtypeStruct((b, lp, total), qkv.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")),
             interpret=interpret,
         )(qkv, o, do)
-    in_specs.insert(1, pl.BlockSpec((g, 1, lp, lp),
+    in_specs.insert(1, pl.BlockSpec((g, hc, lp, lp),
                                     lambda ib, ih: (ib, ih, 0, 0)))
     return pl.pallas_call(
-        functools.partial(_tmajor_bwd_kernel_bias, dp=dp, lk_true=lk_true,
-                          scale=scale),
-        grid=(b // g, heads),
+        functools.partial(_tmajor_bwd_kernel_bias, dp=dp, hc=hc,
+                          lk_true=lk_true, scale=scale),
+        grid=(b // g, heads // hc),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih)),
-            pl.BlockSpec((g, 1, lp, lp), lambda ib, ih: (ib, ih, 0, 0)),
+            pl.BlockSpec((g, lp, hc * 3 * dp), lambda ib, ih: (ib, 0, ih)),
+            pl.BlockSpec((g, hc, lp, lp), lambda ib, ih: (ib, ih, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, lp, total), qkv.dtype),
