@@ -17,9 +17,11 @@ dot output) skip that traffic entirely; see models/eva_vit.py.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from vast_tpu.ops.flash_attention import (
     NEG_INF,
@@ -30,6 +32,47 @@ from vast_tpu.ops.flash_attention import (
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _data_mesh_axes():
+    """(data-axis names, product size) when tracing under a mesh context."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty or "dp" not in am.axis_names:
+        return (), 1
+    axes = tuple(a for a in ("dp", "fsdp") if a in am.axis_names)
+    return axes, math.prod(am.shape[a] for a in axes)
+
+
+def _shard_map_batch(fn, args, batch_axes):
+    """Explicitly partition a Pallas kernel call over the data mesh axes.
+
+    A ``pallas_call`` lowers to an opaque Mosaic custom call that XLA's
+    SPMD partitioner cannot split: under jit-with-mesh it all-gathers the
+    operands and runs the FULL problem replicated on every device (the
+    CPU dryrun never sees this because kernels are gated off CPU).
+    ``shard_map`` states the batch decomposition explicitly, so each
+    device runs only its batch shard through the kernel — and because the
+    custom-VJP entries are wrapped whole, the backward kernels run
+    per-shard too. ``check_vma=False`` is required (pallas_call outputs
+    carry no vma); the transpose still psums cotangents of replicated
+    operands (biases) — proven in tests/test_multichip.py.
+
+    ``batch_axes``: per arg, 0 to shard the leading dim, None to
+    replicate. Falls back to the unwrapped call when not under a mesh or
+    when a sharded arg's batch dim doesn't divide the data axes (ragged
+    eval tails -> GSPMD replication: correct, just slow).
+    """
+    axes, n = _data_mesh_axes()
+    if n == 1:
+        return fn(*args)
+    for a, ba in zip(args, batch_axes):
+        if ba == 0 and a.shape[0] % n:
+            return fn(*args)
+    in_specs = tuple(P(axes) if ba == 0 else P()
+                     for ba in batch_axes)
+    f = jax.shard_map(fn, in_specs=in_specs, out_specs=P(axes),
+                      axis_names=set(axes), check_vma=False)
+    return f(*args)
 
 
 # single-q-block limit: below this the query length only needs sublane
@@ -100,15 +143,14 @@ _flash_fwd.defvjp(_flash_fwd_fwd, _flash_fwd_bwd)
 # kernel recomputes softmax and delta in-kernel, so the only residuals
 # are the operand and the output — both already materialized.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def flash_self_attention_tmajor(qkv, heads, lk_true, scale,
-                                interpret=False):
+def _tmajor_call(qkv, heads, lk_true, scale, interpret=False):
     from vast_tpu.ops.flash_attention import self_attention_tmajor
     return self_attention_tmajor(qkv, heads=heads, lk_true=lk_true,
                                  scale=scale, interpret=interpret)
 
 
 def _tmajor_fwd(qkv, heads, lk_true, scale, interpret=False):
-    out = flash_self_attention_tmajor(qkv, heads, lk_true, scale, interpret)
+    out = _tmajor_call(qkv, heads, lk_true, scale, interpret)
     return out, (qkv, out)
 
 
@@ -121,23 +163,29 @@ def _tmajor_bwd(heads, lk_true, scale, interpret, residuals, g):
     return (dqkv,)
 
 
-flash_self_attention_tmajor.defvjp(_tmajor_fwd, _tmajor_bwd)
+_tmajor_call.defvjp(_tmajor_fwd, _tmajor_bwd)
+
+
+def flash_self_attention_tmajor(qkv, heads, lk_true, scale,
+                                interpret=False):
+    return _shard_map_batch(
+        lambda x: _tmajor_call(x, heads, lk_true, scale, interpret),
+        (qkv,), (0,))
 
 
 # Biased variant (BEATs gated rel-pos): bias (B, H, Lp, Lp) added to the
 # scaled scores in-kernel; its cotangent is the raw per-score ds — the
 # chain through the gate/embedding happens in XLA outside the kernel.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def flash_self_attention_tmajor_biased(qkv, bias, heads, lk_true, scale,
-                                       interpret=False):
+def _tmajor_biased_call(qkv, bias, heads, lk_true, scale,
+                        interpret=False):
     from vast_tpu.ops.flash_attention import self_attention_tmajor
     return self_attention_tmajor(qkv, bias, heads=heads, lk_true=lk_true,
                                  scale=scale, interpret=interpret)
 
 
 def _tmajor_biased_fwd(qkv, bias, heads, lk_true, scale, interpret=False):
-    out = flash_self_attention_tmajor_biased(qkv, bias, heads, lk_true,
-                                             scale, interpret)
+    out = _tmajor_biased_call(qkv, bias, heads, lk_true, scale, interpret)
     return out, (qkv, bias, out)
 
 
@@ -150,8 +198,15 @@ def _tmajor_biased_bwd(heads, lk_true, scale, interpret, residuals, g):
     return dqkv, dbias
 
 
-flash_self_attention_tmajor_biased.defvjp(_tmajor_biased_fwd,
-                                          _tmajor_biased_bwd)
+_tmajor_biased_call.defvjp(_tmajor_biased_fwd, _tmajor_biased_bwd)
+
+
+def flash_self_attention_tmajor_biased(qkv, bias, heads, lk_true, scale,
+                                       interpret=False):
+    return _shard_map_batch(
+        lambda x, b: _tmajor_biased_call(x, b, heads, lk_true, scale,
+                                         interpret),
+        (qkv, bias), (0, 0 if bias.shape[0] != 1 else None))
 
 
 def _use_pallas_shapes(b, lq, lk, h, d, has_bias=True) -> bool:
@@ -241,9 +296,19 @@ def multi_head_attention_hmajor(q, k, v, *, bias=None, mask=None, scale=None,
     qs = q * jnp.asarray(scale, q.dtype)
     pad_q = [(0, 0), (0, 0), (0, lqp - lq), (0, dp - d)]
     pad_k = [(0, 0), (0, 0), (0, lkp - lk), (0, dp - d)]
-    out = _flash_fwd(jnp.pad(qs, pad_q), jnp.pad(k, pad_k),
-                     jnp.pad(v, pad_k), add_bias, bias is not None,
-                     interpret, lk_true)
+    bg = bias is not None
+    args = [jnp.pad(qs, pad_q), jnp.pad(k, pad_k), jnp.pad(v, pad_k)]
+    if add_bias is None:
+        out = _shard_map_batch(
+            lambda q_, k_, v_: _flash_fwd(q_, k_, v_, None, bg, interpret,
+                                          lk_true),
+            tuple(args), (0, 0, 0))
+    else:
+        args.append(add_bias)
+        out = _shard_map_batch(
+            lambda q_, k_, v_, b_: _flash_fwd(q_, k_, v_, b_, bg, interpret,
+                                              lk_true),
+            tuple(args), (0, 0, 0, 0 if add_bias.shape[0] != 1 else None))
     return tag_attention(out[:, :, :lq, :d].astype(q.dtype))
 
 
