@@ -76,6 +76,29 @@ def test_hmajor_ragged_batch_falls_back():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_hmajor_tp_mesh_splits_batch_over_tp():
+    # a Megatron tp layout can't reach inside the opaque kernel, so the
+    # wrapper splits the kernel's batch over tp too (strictly better
+    # than tp-replicated execution); dp=2 x fsdp=2 x tp=2 = 8 shards
+    b, h, l, d = 8, 2, 128, 32
+    q, k, v = _rand(0, b, h, l, d), _rand(1, b, h, l, d), _rand(2, b, h, l, d)
+
+    def f(q, k, v):
+        out = multi_head_attention_hmajor(q, k, v, impl="pallas",
+                                          interpret=True)
+        return (out ** 2).sum()
+
+    grad_fn = jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+    ref = grad_fn(q, k, v)
+    with jax.set_mesh(create_mesh(dp=2, fsdp=2, tp=2)):
+        jaxpr = str(jax.make_jaxpr(f)(q, k, v))
+        assert "shard_map" in jaxpr and "'tp'" in jaxpr
+        got = grad_fn(q, k, v)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_tmajor_sharded_matches_unsharded():
     b, l, h, d = 8, 128, 2, 128
     qkv = _rand(0, b, l, 3 * h * d)

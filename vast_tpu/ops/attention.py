@@ -34,13 +34,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _data_mesh_axes():
-    """(data-axis names, product size) when tracing under a mesh context."""
+def _data_mesh_axes(batch: int):
+    """(axis names, product size) to split a kernel's batch dim over.
+
+    Prefers every mesh axis (dp, fsdp, AND tp — a Megatron layout
+    doesn't reach inside an opaque kernel, so splitting its batch over
+    tp beats running it tp-replicated); falls back to (dp, fsdp) when
+    the batch doesn't divide the full product (ragged eval tails under
+    tp), then to no mapping at all.
+    """
     am = jax.sharding.get_abstract_mesh()
     if am is None or am.empty or "dp" not in am.axis_names:
         return (), 1
-    axes = tuple(a for a in ("dp", "fsdp") if a in am.axis_names)
-    return axes, math.prod(am.shape[a] for a in axes)
+    for cand in (("dp", "fsdp", "tp"), ("dp", "fsdp")):
+        axes = tuple(a for a in cand if a in am.axis_names)
+        n = math.prod(am.shape[a] for a in axes)
+        if n > 1 and batch % n == 0:
+            return axes, n
+    return (), 1
 
 
 def _shard_map_batch(fn, args, batch_axes):
@@ -62,7 +73,8 @@ def _shard_map_batch(fn, args, batch_axes):
     when a sharded arg's batch dim doesn't divide the data axes (ragged
     eval tails -> GSPMD replication: correct, just slow).
     """
-    axes, n = _data_mesh_axes()
+    batch = min(a.shape[0] for a, ba in zip(args, batch_axes) if ba == 0)
+    axes, n = _data_mesh_axes(batch)
     if n == 1:
         return fn(*args)
     for a, ba in zip(args, batch_axes):
