@@ -53,9 +53,13 @@ def test_testing_mode_full_eval(synth, capsys):
     out2 = os.path.join(root, "output_test")
     cfg_path = make_task_config(root, anno, annfile,
                                 task="ret%tva_cap%tva_qa%tva", steps=2)
-    # rewrite output dir so runs don't clash
+    # rewrite output dir so runs don't clash; a val batch size that does
+    # NOT divide the 16 eval samples drives the ragged-final-batch path
+    # (evaluation_mm._full_batches repeat-pads to the static shape and
+    # trims outputs) through all three eval drivers
     cfg = json.load(open(cfg_path))
     cfg["run_cfg"]["output_dir"] = out2
+    cfg["data_cfg"]["val"][0]["batch_size"] = 6
     cfg_path2 = os.path.join(root, "task_test.json")
     json.dump(cfg, open(cfg_path2, "w"))
     run_main(["--config", cfg_path2, "--mode", "testing"])
@@ -66,6 +70,9 @@ def test_testing_mode_full_eval(synth, capsys):
     assert files
     results = json.load(open(os.path.join(rdir, sorted(files)[0])))
     assert {"video_id", "caption"} <= set(results[0])
+    # every eval sample captioned exactly once despite the padding
+    assert len(results) == 16
+    assert len({r["video_id"] for r in results}) == 16
 
 
 def test_zero_shot_flag(synth):

@@ -37,23 +37,45 @@ class BatchLoader:
         self.num_hosts = num_hosts
         self.prefetch = prefetch
         self.epoch = 0
+        self.padded_tail = 0  # set per epoch by _indices()
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset) // self.num_hosts
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return (len(self.dataset) // self.num_hosts) // self.batch_size
+        per_host = -(-len(self.dataset) // self.num_hosts)  # ceil
+        return -(-per_host // self.batch_size)
 
     def _indices(self):
+        """Host-strided index shard, padded so every host yields the SAME
+        number of equally-shaped batches.
+
+        Under SPMD every jitted call is a global program all hosts must
+        enter together — a host with one extra (or shorter) eval batch
+        deadlocks the slice. Shards whose length falls below
+        ceil(n / num_hosts) repeat their last index; ``padded_tail``
+        records how many trailing rows of this host's epoch are such
+        duplicates so eval drivers drop them before the cross-host
+        gather. (The reference instead evaluated unevenly and gathered
+        ragged pickles — DistributedSampler_wopadding,
+        utils/distributed.py:153 — which torch DDP tolerates because its
+        eval is not a collective program.)
+        """
         n = len(self.dataset)
         order = list(range(n))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
         # contiguous host shard (DistributedSampler-style interleave)
-        return order[self.host_id::self.num_hosts]
+        mine = order[self.host_id::self.num_hosts]
+        self.padded_tail = 0
+        if self.num_hosts > 1 and not self.drop_last and n:
+            target = -(-n // self.num_hosts)
+            fill = mine[-1] if mine else order[0]
+            self.padded_tail = target - len(mine)
+            mine = mine + [fill] * self.padded_tail
+        return mine
 
     def __iter__(self):
         idxs = self._indices()

@@ -69,6 +69,37 @@ def _pad_to(arr, n):
     return np.pad(arr, pad), valid
 
 
+def _full_batches(loader):
+    """Yield (batch, n_valid) with the final ragged batch repeat-padded
+    to the loader's batch size.
+
+    One static shape serves every batch (no final-batch recompile, no
+    replication fallback in shard_batch), and on pods the jitted SPMD
+    program stays identical across hosts. Callers keep only the first
+    ``n_valid`` rows of each output. Separately, ``loader.padded_tail``
+    rows at the very end of a host's epoch are cross-host alignment
+    DUPLICATES (loader.py _indices) — drivers drop those locally before
+    gathering.
+    """
+    bs = getattr(loader, "batch_size", None)
+    for batch in loader:
+        n = next((v.shape[0] for v in batch.values()
+                  if isinstance(v, np.ndarray)), None)
+        if n is None or bs is None or n == bs:
+            yield batch, (n if n is not None else bs)
+            continue
+        padded = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                padded[k] = np.concatenate(
+                    [v, np.repeat(v[-1:], bs - n, axis=0)], axis=0)
+            elif isinstance(v, (list, tuple)) and len(v) == n:
+                padded[k] = list(v) + [v[-1]] * (bs - n)
+            else:
+                padded[k] = v
+        yield padded, n
+
+
 # ------------------------------------------------------------------
 # retrieval (evaluation_mm.py:171-249)
 # ------------------------------------------------------------------
@@ -85,34 +116,43 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
     cond_seqs = {st: [] for st in subtasks}
 
     batch_size = None
-    for batch in loader:
-        ids += list(batch["ids"])
-        ids_txt += list(batch["ids_txt"])
+    for batch, nv in _full_batches(loader):
+        ids += list(batch["ids"])[:nv]
+        ids_txt += list(batch["ids_txt"])[:nv]
         if batch_size is None:
             batch_size = len(batch["ids"])
         out = cond_fn(params, _device_batch(batch, mesh),
                       subtasks=tuple(subtasks), vision_transforms=vt)
         for st in subtasks:
-            cond_feats[st].append(np.asarray(out[f"feat_cond_{st}"]))
-            cond_seqs[st].append(np.asarray(out[f"condition_feats_{st}"]))
+            cond_feats[st].append(np.asarray(out[f"feat_cond_{st}"])[:nv])
+            cond_seqs[st].append(
+                np.asarray(out[f"condition_feats_{st}"])[:nv])
         tb = _device_batch({"t": batch["caption_tokens"],
                             "m": batch["caption_attention_mask"]}, mesh)
         ft = text_fn(params, tb["t"], tb["m"])
-        feats_t.append(np.asarray(ft))
-        tok_buf.append(np.asarray(batch["caption_tokens"]))
-        mask_buf.append(np.asarray(batch["caption_attention_mask"]))
+        feats_t.append(np.asarray(ft)[:nv])
+        tok_buf.append(np.asarray(batch["caption_tokens"])[:nv])
+        mask_buf.append(np.asarray(batch["caption_attention_mask"])[:nv])
 
-    # cross-host gather (identity on single host) — replaces
-    # all_gather_list / ddp_allgather (evaluation_mm.py:208-222)
-    ids = gather_list(ids)
-    ids_txt = gather_list(ids_txt)
-    feat_t = gather_array(np.concatenate(feats_t))
-    input_ids = gather_array(np.concatenate(tok_buf))
-    attention_mask = gather_array(np.concatenate(mask_buf))
+    # drop this host's cross-host alignment duplicates (the last
+    # padded_tail rows of the epoch), then gather (identity on single
+    # host) — replaces all_gather_list / ddp_allgather
+    # (evaluation_mm.py:208-222)
+    pt = getattr(loader, "padded_tail", 0)
+
+    def local(bufs):
+        x = np.concatenate(bufs)
+        return x[: x.shape[0] - pt]
+
+    ids = gather_list(ids[: len(ids) - pt])
+    ids_txt = gather_list(ids_txt[: len(ids_txt) - pt])
+    feat_t = gather_array(local(feats_t))
+    input_ids = gather_array(local(tok_buf))
+    attention_mask = gather_array(local(mask_buf))
 
     val_log = {}
     for st in subtasks:
-        fc = gather_array(np.concatenate(cond_feats[st]))
+        fc = gather_array(local(cond_feats[st]))
         score = feat_t @ fc.T
         log = compute_metric_ret(score, ids, ids_txt, "forward")
         log = {k.replace("forward", "video"): v for k, v in log.items()}
@@ -125,7 +165,7 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
         # ITM rerank (per direction, matching refine_score_matrix's
         # direction arg — evaluation_mm.py:253-259: forward reranks the
         # top-k videos per text, backward the top-k texts per video)
-        cseq = gather_array(np.concatenate(cond_seqs[st]))
+        cseq = gather_array(local(cond_seqs[st]))
         top_k = int(run_cfg.get("itm_rerank_num", 50))
         refined = rerank_scores(model, params, cseq, input_ids,
                                 attention_mask, score, top_k, "forward",
@@ -266,7 +306,7 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
     vt = _loader_transforms(loader)
     results = {st: [] for st in subtasks}
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
-    for batch in loader:
+    for batch, nv in _full_batches(loader):
         out = cond_fn(params, _device_batch(batch, mesh),
                       subtasks=tuple(subtasks), vision_transforms=vt)
         for st in subtasks:
@@ -276,9 +316,13 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
             rng, sub = jax.random.split(rng)
             toks = generate(model, params, cond, gen_cfg, rng=sub)
             caps = tokenizer.batch_decode(np.asarray(toks))
-            for vid, cap in zip(batch["ids"], caps):
+            for vid, cap in zip(list(batch["ids"])[:nv], caps):
                 results[st].append({"video_id": vid, "caption": cap})
 
+    pt = getattr(loader, "padded_tail", 0)
+    if pt:  # cross-host alignment duplicates (loader.py _indices)
+        for st in subtasks:
+            results[st] = results[st][: len(results[st]) - pt]
     val_log = {}
     out_dir = os.path.join(run_cfg.get("output_dir", "."),
                            f"results_test_{dset_name}")
@@ -310,12 +354,10 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
                       static_argnames=("subtasks", "vision_transforms"))
     vt = _loader_transforms(loader)
 
-    gt_answers = []
+    gt_rows = []
     preds = {st: [] for st in subtasks}
-    for batch in loader:
-        answers = batch["raw_answers"]
-        gt_answers += [a for row in answers
-                       for a in (row if isinstance(row, list) else [row])]
+    for batch, nv in _full_batches(loader):
+        gt_rows += list(batch["raw_answers"])[:nv]
         out = cond_fn(params, _device_batch(batch, mesh),
                       subtasks=tuple(subtasks), vision_transforms=vt)
         q_ids = np.asarray(batch["question_tokens"])
@@ -329,8 +371,15 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
             toks = generate(model, params, cond, gen_cfg,
                             prompt_ids=jnp.asarray(prompt),
                             prompt_mask=jnp.asarray(pmask))
-            preds[st] += tokenizer.batch_decode(np.asarray(toks))
+            preds[st] += tokenizer.batch_decode(np.asarray(toks))[:nv]
 
+    pt = getattr(loader, "padded_tail", 0)
+    if pt:  # cross-host alignment duplicates (loader.py _indices)
+        gt_rows = gt_rows[: len(gt_rows) - pt]
+        for st in subtasks:
+            preds[st] = preds[st][: len(preds[st]) - pt]
+    gt_answers = [a for row in gt_rows
+                  for a in (row if isinstance(row, list) else [row])]
     val_log = {}
     gt_answers = gather_list(gt_answers)
     for st in subtasks:

@@ -18,13 +18,27 @@ import jax
 
 
 def gather_array(x: np.ndarray) -> np.ndarray:
-    """Concatenate a per-host array along axis 0 across hosts."""
+    """Concatenate a per-host array along axis 0 across hosts.
+
+    Per-host row counts may differ (eval shards trimmed of their
+    padded_tail duplicates): rows are padded to the cross-host max for
+    the allgather and each host's true count sliced back out — the
+    ragged-gather semantics of the reference's ``ddp_allgather``
+    (utils/distributed.py:133-151)."""
     if jax.process_count() == 1:
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
-    out = multihost_utils.process_allgather(np.asarray(x))
-    return np.concatenate(list(out), axis=0) if out.ndim > x.ndim else out
+    x = np.asarray(x)
+    counts = multihost_utils.process_allgather(
+        np.asarray([x.shape[0]], np.int32)).reshape(-1)
+    m = int(counts.max())
+    if x.shape[0] < m:
+        pad = [(0, m - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        x = np.pad(x, pad)
+    rows = multihost_utils.process_allgather(x)  # (hosts, m, ...)
+    return np.concatenate([r[: int(c)] for r, c in zip(rows, counts)],
+                          axis=0)
 
 
 def gather_list(items: list) -> list:

@@ -45,16 +45,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device_put every array in the batch with batch-dim sharding.
+    """Place every array in the batch on the mesh with batch-dim sharding.
 
-    Arrays whose leading dim doesn't divide the data axes (ragged final
-    eval batches) fall back to replication."""
+    Single-process: arrays are the GLOBAL batch; leading dims that don't
+    divide the data axes (ragged final eval batches) fall back to
+    replication.
+
+    Multi-process (pods): arrays are this HOST'S shard (loaders divide
+    the config batch by ``jax.process_count()``) and the global array is
+    assembled in place via ``jax.make_array_from_process_local_data`` —
+    no host ever materializes the full batch. Replication is impossible
+    here (each host holds different rows), so an indivisible global
+    batch is a config error and raises; BatchLoader pads eval shards so
+    every host sees equally-shaped batches (loader.py _indices).
+    """
     sh = batch_sharding(mesh)
     n = mesh.shape["dp"] * mesh.shape["fsdp"]
+    procs = jax.process_count()
 
     def put(v):
         if not hasattr(v, "ndim") or v.ndim == 0:
             return v
+        if procs > 1:
+            local = np.asarray(v)
+            if (local.shape[0] * procs) % n:
+                raise ValueError(
+                    f"global batch {local.shape[0] * procs} does not "
+                    f"divide the data-parallel axes ({n}); pick a batch "
+                    f"size divisible by dp*fsdp")
+            return jax.make_array_from_process_local_data(sh, local)
         if v.shape[0] % n:
             return jax.device_put(v, replicated(mesh))
         return jax.device_put(v, sh)
