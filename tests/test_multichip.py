@@ -116,6 +116,50 @@ def test_tmajor_sharded_matches_unsharded():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_remat_policy_composes_with_sharded_kernel():
+    # the train step wraps encoder blocks in jax.checkpoint with the
+    # 'attn' policy (save only tagged kernel outputs); the tag is applied
+    # OUTSIDE the shard_map, so the saved residual is the global-batch
+    # activation and the backward must re-enter the sharded kernel only
+    # for what the policy discards
+    import flax.linen as nn  # noqa: F401 (mirror train-step imports)
+    from vast_tpu.models.remat import remat_policy
+
+    b, h, l, d = 8, 2, 128, 32
+    q, k, v = _rand(0, b, h, l, d), _rand(1, b, h, l, d), _rand(2, b, h, l, d)
+    w = _rand(3, d, d)
+
+    def block(w, q, k, v):
+        out = multi_head_attention_hmajor(q, k, v, impl="pallas",
+                                          interpret=True)
+        return jnp.tanh(out @ w)
+
+    def loss(w, q, k, v, pol):
+        blk = jax.checkpoint(block, policy=remat_policy(pol)) \
+            if pol != "none" else block
+        return (blk(w, q, k, v) ** 2).sum()
+
+    grads = {}
+    for where in ("single", "mesh"):
+        ctx = jax.set_mesh(create_mesh(dp=4, fsdp=2)) if where == "mesh" \
+            else None
+        try:
+            if ctx is not None:
+                ctx.__enter__()
+            for pol in ("none", "attn", "dots", "full"):
+                grads[(where, pol)] = jax.jit(
+                    jax.grad(loss, argnums=(0, 1)), static_argnums=(4,)
+                )(w, q, k, v, pol)
+        finally:
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
+    ref = grads[("single", "none")]
+    for key, got in grads.items():
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                       rtol=2e-5, atol=2e-5, err_msg=str(key))
+
+
 def test_tmajor_biased_sharded_matches_unsharded():
     b, l, h, d = 8, 128, 2, 128
     qkv = _rand(0, b, l, 3 * h * d)
