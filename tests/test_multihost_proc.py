@@ -1,0 +1,100 @@
+"""REAL multi-process multihost validation (2 JAX processes over Gloo).
+
+The virtual 8-device mesh in conftest.py fakes multiple chips in ONE
+process; everything `jax.process_count()`-gated (shard_batch's
+make_array_from_process_local_data path, ragged gather_array,
+gather_list, BatchLoader padded_tail alignment) is dead code there. This
+test launches two actual `jax.distributed` CPU processes (4 virtual
+devices each) and proves the pod input/eval protocol end to end:
+
+  * shard_batch assembles a global batch from per-host shards — the
+    jitted global sum agrees across hosts;
+  * gather_array handles RAGGED per-host row counts (the reference's
+    ddp_allgather semantics, utils/distributed.py:133-151);
+  * gather_list round-trips Python objects;
+  * two BatchLoaders (one per host) + padded_tail trimming cover an
+    uneven dataset exactly once with equal batch counts/shapes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_CHILD = r'''
+import sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+sys.path.insert(0, sys.argv[3])
+from vast_tpu.data.loader import BatchLoader
+from vast_tpu.parallel.collectives import gather_array, gather_list
+from vast_tpu.parallel.mesh import create_mesh, shard_batch
+
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+mesh = create_mesh(dp=8)
+
+# --- shard_batch: per-host shards -> one global batch ---------------
+local = np.arange(4 * 2, dtype=np.float32).reshape(4, 2) + 100 * pid
+out = shard_batch(mesh, {"x": local})
+assert out["x"].shape == (8, 2)  # global shape, assembled in place
+total = float(jax.jit(lambda x: x.sum())(out["x"]))
+assert total == 28.0 + 800.0 + 28.0, total  # both hosts' rows counted
+
+# --- ragged cross-host gathers ---------------------------------------
+g = gather_array(np.full((pid + 1, 2), float(pid), np.float32))
+assert g.shape == (3, 2) and float(g.sum()) == 4.0, (g.shape, g.sum())
+li = gather_list([f"h{pid}_{i}" for i in range(pid + 2)])
+assert li == ["h0_0", "h0_1", "h1_0", "h1_1", "h1_2"], li
+
+# --- eval-shard alignment + exactly-once coverage --------------------
+class DS:
+    def __len__(self):
+        return 11  # 11 % 2 hosts != 0 -> padded_tail on host 1
+
+    def __getitem__(self, i):
+        return i
+
+    def collate(self, s):
+        return {"x": np.asarray(s)}
+
+ld = BatchLoader(DS(), 4, shuffle=False, drop_last=False, num_workers=1,
+                 host_id=pid, num_hosts=2)
+rows = np.concatenate([b["x"] for b in ld])
+rows = rows[: len(rows) - ld.padded_tail]
+all_rows = gather_array(rows.astype(np.int32))
+assert sorted(all_rows.tolist()) == list(range(11)), all_rows
+print("CHILD OK", pid, flush=True)
+'''
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_multihost_protocol(tmp_path):
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen([sys.executable, str(child), str(i), port, repo],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"CHILD OK {i}" in o, f"host {i}:\n{o}"
