@@ -24,10 +24,12 @@ def main():
             num_processes=int(os.environ.get("VAST_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("VAST_PROCESS_ID", "0")))
 
+    import jax
+
     from vast_tpu.config import dump_hps, get_args
     from vast_tpu.logger import LOGGER
     from vast_tpu.training import pipeline
-    from vast_tpu.training.saver import ModelSaver, restore_params_from
+    from vast_tpu.training.saver import restore_params_from
 
     def load_checkpoint_params(path, model, opts, tokenizer):
         """--checkpoint dispatch: released torch .pt/.bin files and
@@ -51,7 +53,8 @@ def main():
 
     opts = get_args()
     pipeline.initialize(opts)
-    if opts.run_cfg.output_dir and opts.run_cfg.output_dir != "none":
+    if opts.run_cfg.output_dir and opts.run_cfg.output_dir != "none" \
+            and jax.process_index() == 0:  # one writer on shared FS
         dump_hps(opts)
 
     tokenizer = pipeline.build_tokenizer(opts)
@@ -79,16 +82,12 @@ def main():
             except FileNotFoundError as e:
                 LOGGER.warning("pretrain_dir has no weight files (%s); "
                                "config inherited only", e)
-        if opts.run_cfg.get("resume"):
-            from vast_tpu.training.optimizer import build_optimizer
-            from vast_tpu.training.step import create_train_state
-            params = params or pipeline.init_params(model, opts, tokenizer)
-            tx, _ = build_optimizer(params, opts.run_cfg, opts.model_cfg,
-                                    opts.run_cfg.num_train_steps or 1)
-            state = create_train_state(params, tx)
-            saver = ModelSaver(opts.run_cfg.output_dir)
-            state, start_step = saver.restore_latest(state)
-        elif params is not None:
+        # --resume is handled INSIDE pipeline.train, after shard_state:
+        # restoring first would (a) have the sharding step's optimizer
+        # re-init wipe the restored Adam moments on any multi-device run
+        # and (b) restore into host-local arrays on pods, which orbax
+        # rejects; restoring into the mesh-placed state does neither
+        if params is not None:
             from vast_tpu.training.optimizer import build_optimizer
             from vast_tpu.training.step import create_train_state
             tx, _ = build_optimizer(params, opts.run_cfg, opts.model_cfg,

@@ -48,6 +48,20 @@ def test_training_ret_cap_end_to_end(synth):
 
 
 @pytest.mark.slow
+def test_resume_continues_from_checkpoint(synth):
+    """--resume via the CLI: picks up the step-4 checkpoint written by the
+    training test above and trains on to step 6 (restore happens inside
+    pipeline.train AFTER shard_state — the round-3 moment-wipe fix)."""
+    root, anno, annfile = synth
+    cfg_path = make_task_config(root, anno, annfile, task="ret%tva_cap%tva",
+                                steps=4)
+    run_main(["--config", cfg_path, "--resume", "--num_train_steps", "6"])
+    ckpts = os.listdir(os.path.join(root, "output", "ckpt"))
+    assert "model_step_6" in ckpts, ckpts
+    assert "model_step_4" not in ckpts  # delete-previous still applies
+
+
+@pytest.mark.slow
 def test_testing_mode_full_eval(synth, capsys):
     root, anno, annfile = synth
     out2 = os.path.join(root, "output_test")

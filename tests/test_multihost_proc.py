@@ -73,6 +73,42 @@ print("CHILD OK", pid, flush=True)
 '''
 
 
+_SAVE_CHILD = r'''
+import sys
+pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, sys.argv[4])
+from jax.sharding import NamedSharding, PartitionSpec as P
+from vast_tpu.parallel.mesh import create_mesh, replicated
+from vast_tpu.training.saver import ModelSaver
+
+mesh = create_mesh(dp=2, fsdp=4)
+sh = NamedSharding(mesh, P("fsdp"))
+# an fsdp-sharded param: each process owns DIFFERENT shards, so the
+# orbax save/restore is genuinely collective
+w = jax.jit(lambda: jnp.arange(16.0).reshape(8, 2), out_shardings=sh)()
+step = jax.jit(lambda: jnp.ones((), jnp.int32), out_shardings=replicated(mesh))()
+
+class State:
+    params = {"w": w}
+    opt_state = {"mu": {"w": w}}
+State.step = step
+
+sv = ModelSaver(out)
+sv.save(State(), 3)  # every host calls save; host 0 does the fs surgery
+like = {"w": jax.jit(lambda: jnp.zeros((8, 2)), out_shardings=sh)()}
+back = sv.restore_params(3, like)
+got = np.asarray(jax.device_get(back["w"]))
+assert np.array_equal(got, np.arange(16.0).reshape(8, 2)), got
+print("SAVE OK", pid, flush=True)
+'''
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -98,3 +134,29 @@ def test_two_process_multihost_protocol(tmp_path):
     outs = [p.communicate(timeout=300)[0] for p in procs]
     for i, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and f"CHILD OK {i}" in o, f"host {i}:\n{o}"
+
+
+@pytest.mark.slow
+def test_two_process_collective_save_restore(tmp_path):
+    """ModelSaver.save is collective on pods: every host writes its own
+    shards of an fsdp-sharded param and the round trip reassembles the
+    full value. Restoring into host-local arrays is what orbax rejects —
+    hence pipeline.train restores AFTER shard_state."""
+    child = tmp_path / "save_child.py"
+    child.write_text(_SAVE_CHILD)
+    out_dir = tmp_path / "ckpt_out"
+    out_dir.mkdir()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen([sys.executable, str(child), str(i), port,
+                          str(out_dir), repo],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"SAVE OK {i}" in o, f"host {i}:\n{o}"

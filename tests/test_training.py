@@ -176,6 +176,34 @@ def test_saver_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_restores_moments_into_sharded_state(tmp_path):
+    """The resume order bug (round 3): shard_state re-inits the optimizer
+    tree, so restoring BEFORE sharding silently wiped the resumed Adam
+    moments on any multi-device run. pipeline.train now restores after
+    shard_state; this reproduces that flow and checks the moments (and
+    step counter) survive onto the mesh-sharded layout."""
+    from vast_tpu.training.optimizer import build_optimizer as _bo
+
+    model, state, step, batch, _ = build()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))  # nonzero moments
+    saver = ModelSaver(str(tmp_path))
+    saver.save(state, 1)
+
+    _, fresh, _, _, _ = build(seed=1)
+    tx, _ = _bo(fresh.params, RUN_CFG, MODEL_CFG, 100)
+    mesh = create_mesh(dp=4, fsdp=2)
+    sharded = shard_state(mesh, fresh, fsdp=True, tx=tx)  # re-inits moments
+    restored, start = saver.restore_latest(sharded)
+    assert start == 1 and int(restored.step) == 1
+    ref = jax.tree.leaves(state.opt_state)
+    got = jax.tree.leaves(restored.opt_state)
+    assert any(np.abs(np.asarray(a)).max() > 0 for a in ref
+               if hasattr(a, "shape") and getattr(a, "ndim", 0) > 0)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+
+
 def test_saver_removes_previous(tmp_path):
     model, state, step, batch, _ = build()
     saver = ModelSaver(str(tmp_path))

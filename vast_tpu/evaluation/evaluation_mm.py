@@ -330,9 +330,12 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
     for st in subtasks:
         results[st] = gather_list(results[st])
         annfile = getattr(loader.dataset, "annfile", None)
-        with open(os.path.join(out_dir, f"step_{global_step}_{st}.json"),
-                  "w") as f:
-            json.dump(results[st], f)
+        if jax.process_index() == 0:  # one writer on shared filesystems
+            with open(os.path.join(out_dir, f"step_{global_step}_{st}.json"),
+                      "w") as f:
+                json.dump(results[st], f)
+        # metrics on EVERY host: best-ckpt bookkeeping and the collective
+        # saver.save need identical eval_log across hosts (pipeline.py)
         if annfile:
             val_log[f"cap_{st}"] = compute_caption_metrics(results[st],
                                                            annfile)

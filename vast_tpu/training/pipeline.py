@@ -195,6 +195,13 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
 
     saver = ModelSaver(run_cfg.output_dir,
                        run_cfg.get("remove_before_ckpt", True))
+    if run_cfg.get("resume") and start_step == 0:
+        # restore AFTER shard_state: the sharding step re-inits the
+        # optimizer tree (fast mesh-placed zeros), so restoring first
+        # would wipe the resumed Adam moments on any multi-device run —
+        # and orbax restores into the mesh-placed state's shardings,
+        # which pods require (host-local targets are rejected)
+        state, start_step = saver.restore_latest(state)
     step_fns = {}
     meters = {}
     metric_logger_dict = defaultdict(dict)
@@ -271,26 +278,32 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
             eval_log = evaluate_fn(model, state.params, tokenizer,
                                    val_loaders, run_cfg, global_step,
                                    mesh=mesh)
-            if jax.process_index() == 0:
-                for task_name, val_log in eval_log.items():
-                    for eval_name, metric in val_log.items():
-                        eval_name = f"{task_name}_{eval_name}"
-                        metric_logger_dict[eval_name][str(global_step)] = metric
+            # bookkeeping runs on EVERY host: eval_log is identical
+            # everywhere (metrics are computed from globally gathered
+            # data), and saver.save below is a COLLECTIVE — orbax
+            # writes each host's shards of fsdp/tp-sharded params, so
+            # gating it to host 0 would deadlock a pod (only the log
+            # file handler is host-0, pipeline.initialize)
+            for task_name, val_log in eval_log.items():
+                for eval_name, metric in val_log.items():
+                    eval_name = f"{task_name}_{eval_name}"
+                    metric_logger_dict[eval_name][str(global_step)] = metric
+                    if jax.process_index() == 0:
                         LOGGER.info("eval %s @ step %d: %s", eval_name,
                                     global_step, metric)
-                        best_name = get_best_name(eval_name, metric)
-                        if best_name is None:
-                            continue
-                        hist = metric_logger_dict[eval_name]
-                        if ("best_step" not in hist
-                                or metric[best_name] >= hist["best_value"]):
-                            hist["best_step"] = global_step
-                            hist["best_value"] = metric[best_name]
-                            best_indicator[eval_name] = True
-                        else:
-                            best_indicator[eval_name] = False
-                saver.save(state, global_step, best_indicator,
-                           run_cfg.get("save_best", False))
+                    best_name = get_best_name(eval_name, metric)
+                    if best_name is None:
+                        continue
+                    hist = metric_logger_dict[eval_name]
+                    if ("best_step" not in hist
+                            or metric[best_name] >= hist["best_value"]):
+                        hist["best_step"] = global_step
+                        hist["best_value"] = metric[best_name]
+                        best_indicator[eval_name] = True
+                    else:
+                        best_indicator[eval_name] = False
+            saver.save(state, global_step, best_indicator,
+                       run_cfg.get("save_best", False))
         if global_step >= num_steps:
             break
     if timer.summary():

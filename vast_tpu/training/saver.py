@@ -32,11 +32,20 @@ class ModelSaver:
 
     def save(self, state, step: int, best_indicator: dict | None = None,
              save_best: bool = False):
+        """Collective on pods: every host must call this (orbax writes
+        each host's shards of mesh-sharded params); the best-copy /
+        delete-previous filesystem surgery runs on host 0 only, after a
+        barrier so no host is still reading what host 0 rewrites."""
         prev = self.latest_step()
         self._ckptr.save(self._path("model", step), state.params)
         self._ckptr.save(self._path("optimizer", step),
                          {"opt_state": state.opt_state, "step": state.step})
         self._ckptr.wait_until_finished()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"ckpt_saved_{step}")
+        if jax.process_index() != 0:
+            return
         if save_best and best_indicator:
             for metric, is_best in best_indicator.items():
                 if is_best:
