@@ -33,7 +33,7 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
 import numpy as np
 sys.path.insert(0, sys.argv[3])
 from vast_tpu.data.loader import BatchLoader
-from vast_tpu.parallel.collectives import gather_array, gather_list
+from vast_tpu.parallel.collectives import gather_array, gather_list, host_rows
 from vast_tpu.parallel.mesh import create_mesh, shard_batch
 
 assert jax.device_count() == 8 and jax.local_device_count() == 4
@@ -69,6 +69,33 @@ rows = np.concatenate([b["x"] for b in ld])
 rows = rows[: len(rows) - ld.padded_tail]
 all_rows = gather_array(rows.astype(np.int32))
 assert sorted(all_rows.tolist()) == list(range(11)), all_rows
+
+# --- the full eval-driver protocol through a jitted SPMD program ------
+# _full_batches pad -> shard_batch global assembly -> jit -> host_rows
+# (global outputs span processes; np.asarray would raise) -> trim
+# pad rows + padded_tail -> ragged gather: exactly-once, in id order
+from vast_tpu.evaluation.evaluation_mm import _device_batch, _full_batches
+
+class DS2(DS):
+    def __getitem__(self, i):
+        return float(i)
+
+    def collate(self, s):
+        return {"x": np.asarray(s, np.float32)}
+
+ld2 = BatchLoader(DS2(), 4, shuffle=False, drop_last=False, num_workers=1,
+                  host_id=pid, num_hosts=2)
+f = jax.jit(lambda x: x * 2.0)
+feats = []
+for batch, nv in _full_batches(ld2):
+    db = _device_batch(batch, mesh)
+    assert db["x"].shape[0] == 8  # global batch assembled across hosts
+    feats.append(host_rows(f(db["x"]))[:nv])
+local = np.concatenate(feats)
+local = local[: len(local) - ld2.padded_tail]
+full = gather_array(local)
+expect = [2.0 * i for i in list(range(0, 11, 2)) + list(range(1, 11, 2))]
+assert full.tolist() == expect, (full.tolist(), expect)
 print("CHILD OK", pid, flush=True)
 '''
 

@@ -153,7 +153,9 @@ class VisionMapper:
 
     def _sample_count(self, num_frames: int, fps: float) -> int:
         if self.dense_extraction:  # vision_mapper.py:141-143
-            return max(1, int(num_frames * self.extract_fps / max(fps, 1e-6)))
+            if fps <= 0:  # decoder couldn't determine the frame rate
+                fps = 25.0
+            return max(1, int(num_frames * self.extract_fps / fps))
         return self.sample_num
 
     def _read_video(self, id_):
@@ -213,7 +215,10 @@ class VisionMapper:
         fps = 25.0
         if len(fields) > 2 and "/" in fields[2]:
             num, den = fields[2].split("/")
-            if float(den) > 0:
+            # ffprobe reports '0/1' for some containers/attached pics —
+            # num must be positive too or _sample_count would divide by
+            # ~0 and request ~1e8 sample indices
+            if float(den) > 0 and float(num) > 0:
                 fps = float(num) / float(den)
         scale = s / min(w, h)
         nw, nh = max(s, round(w * scale)), max(s, round(h * scale))

@@ -11,6 +11,13 @@ Reference: evaluation/evaluation_mm.py. Differences by design:
 * multi-host gathers use ``jax.experimental.multihost_utils``
   (process_allgather) instead of pickle-based ``all_gather_list`` when
   running on >1 host; single-host runs skip gathering entirely.
+
+Pod execution model: feature extraction is one SPMD program over the
+mesh (batches padded to a mesh-divisible static shape, every host in
+lockstep — _full_batches); everything downstream of the global gathers
+(rerank chunks, generation) runs host-locally on identical data, since
+those inputs are already replicated per host. ``host_rows`` fetches
+this host's rows of a process-spanning jit output.
 """
 
 from __future__ import annotations
@@ -28,7 +35,8 @@ from vast_tpu.evaluation.metrics.coco_eval import compute_caption_metrics
 from vast_tpu.evaluation.vqa_metrics import exact_match_accuracy
 from vast_tpu.logger import LOGGER
 from vast_tpu.models.generation import GenerationConfig, generate
-from vast_tpu.parallel.collectives import gather_array, gather_list
+from vast_tpu.parallel.collectives import gather_array, gather_list, \
+    host_rows
 
 
 def evaluate_mm(model, params, tokenizer, val_loaders: dict, run_cfg,
@@ -60,6 +68,17 @@ def evaluate_mm(model, params, tokenizer, val_loaders: dict, run_cfg,
     return eval_log
 
 
+def _mesh_ctx(mesh):
+    """Trace/run eval jits under the mesh so the model's
+    constrain_batch_dim pins activations and _shard_map_batch partitions
+    the Pallas kernels — without it every kernel runs the FULL problem
+    replicated per device (exactly what make_train_step's set_mesh wrap
+    prevents for training)."""
+    import contextlib
+    return jax.set_mesh(mesh) if mesh is not None else \
+        contextlib.nullcontext()
+
+
 def _pad_to(arr, n):
     if arr.shape[0] == n:
         return arr, np.ones(n, bool)
@@ -69,19 +88,29 @@ def _pad_to(arr, n):
     return np.pad(arr, pad), valid
 
 
-def _full_batches(loader):
-    """Yield (batch, n_valid) with the final ragged batch repeat-padded
-    to the loader's batch size.
+def _full_batches(loader, mesh=None):
+    """Yield (batch, n_valid) with every batch repeat-padded to a fixed,
+    mesh-divisible size.
 
-    One static shape serves every batch (no final-batch recompile, no
-    replication fallback in shard_batch), and on pods the jitted SPMD
-    program stays identical across hosts. Callers keep only the first
-    ``n_valid`` rows of each output. Separately, ``loader.padded_tail``
-    rows at the very end of a host's epoch are cross-host alignment
-    DUPLICATES (loader.py _indices) — drivers drop those locally before
-    gathering.
+    The target is the loader's batch size rounded up to the data-axis
+    product: one static shape serves every batch (no final-batch
+    recompile), shard_batch never needs its replication fallback, and
+    GSPMD under ``jax.set_mesh`` always sees divisible batch dims — an
+    indivisible dim makes the partitioner pick tilings that cannot be
+    expressed on the mesh (ValueError at jit output parsing). On pods
+    the jitted program additionally stays identical across hosts.
+    Callers keep only the first ``n_valid`` rows of each output.
+    Separately, ``loader.padded_tail`` rows at the very end of a host's
+    epoch are cross-host alignment DUPLICATES (loader.py _indices) —
+    drivers drop those locally before gathering.
     """
     bs = getattr(loader, "batch_size", None)
+    if bs is not None and mesh is not None:
+        n = mesh.shape["dp"] * mesh.shape["fsdp"]
+        procs = jax.process_count()
+        # the global batch (bs x processes) must divide the data axes
+        step = n // procs if procs > 1 and n % procs == 0 else n
+        bs = -(-bs // step) * step
     for batch in loader:
         n = next((v.shape[0] for v in batch.values()
                   if isinstance(v, np.ndarray)), None)
@@ -116,21 +145,24 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
     cond_seqs = {st: [] for st in subtasks}
 
     batch_size = None
-    for batch, nv in _full_batches(loader):
+    for batch, nv in _full_batches(loader, mesh):
         ids += list(batch["ids"])[:nv]
         ids_txt += list(batch["ids_txt"])[:nv]
         if batch_size is None:
             batch_size = len(batch["ids"])
-        out = cond_fn(params, _device_batch(batch, mesh),
-                      subtasks=tuple(subtasks), vision_transforms=vt)
+        with _mesh_ctx(mesh):
+            out = cond_fn(params, _device_batch(batch, mesh),
+                          subtasks=tuple(subtasks), vision_transforms=vt)
+            tb = _device_batch({"t": batch["caption_tokens"],
+                                "m": batch["caption_attention_mask"]}, mesh)
+            ft = text_fn(params, tb["t"], tb["m"])
+        # host_rows: on pods the jit outputs are GLOBAL batches spanning
+        # processes; keep only this host's rows (np.asarray would raise)
         for st in subtasks:
-            cond_feats[st].append(np.asarray(out[f"feat_cond_{st}"])[:nv])
+            cond_feats[st].append(host_rows(out[f"feat_cond_{st}"])[:nv])
             cond_seqs[st].append(
-                np.asarray(out[f"condition_feats_{st}"])[:nv])
-        tb = _device_batch({"t": batch["caption_tokens"],
-                            "m": batch["caption_attention_mask"]}, mesh)
-        ft = text_fn(params, tb["t"], tb["m"])
-        feats_t.append(np.asarray(ft)[:nv])
+                host_rows(out[f"condition_feats_{st}"])[:nv])
+        feats_t.append(host_rows(ft)[:nv])
         tok_buf.append(np.asarray(batch["caption_tokens"])[:nv])
         mask_buf.append(np.asarray(batch["caption_attention_mask"])[:nv])
 
@@ -231,6 +263,12 @@ def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
         pair_c = np.tile(np.arange(n_cond), k)
         pair_t = top.reshape(-1)
 
+    # rerank inputs are globally gathered and IDENTICAL on every host:
+    # on pods each host scores the full pair set locally (shard_batch
+    # would wrongly treat the identical chunks as distinct host shards
+    # and double the batch); single-process keeps the mesh SPMD path
+    if jax.process_count() > 1:
+        mesh = None
     score_fn = jax.jit(functools.partial(_slice_scores, model))
     out = np.zeros_like(itc_scores)
     n_pairs = pair_t.shape[0]
@@ -242,8 +280,9 @@ def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
         cond_chunk, _ = _pad_to(cond_seqs[c_idx], chunk)
         db = _device_batch({"c": cond_chunk, "i": ids_chunk,
                             "m": mask_chunk}, mesh)
-        scores = np.asarray(score_fn(params, db["c"], db["i"],
-                                     db["m"]))[valid]
+        with _mesh_ctx(mesh):
+            scores = np.asarray(score_fn(params, db["c"], db["i"],
+                                         db["m"]))[valid]
         out[t_idx, c_idx] = scores
     return out
 
@@ -306,23 +345,37 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
     vt = _loader_transforms(loader)
     results = {st: [] for st in subtasks}
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
-    for batch, nv in _full_batches(loader):
-        out = cond_fn(params, _device_batch(batch, mesh),
-                      subtasks=tuple(subtasks), vision_transforms=vt)
+    multiproc = jax.process_count() > 1
+    for batch, nv in _full_batches(loader, mesh):
+        with _mesh_ctx(mesh):
+            out = cond_fn(params, _device_batch(batch, mesh),
+                          subtasks=tuple(subtasks), vision_transforms=vt)
         for st in subtasks:
             cond = out[f"condition_feats_{st}"]
+            if multiproc:
+                # generation runs host-locally on this host's rows (the
+                # fixed-shape scan needs no cross-host work, and the
+                # global toks array couldn't be fetched anyway)
+                cond = jnp.asarray(host_rows(cond))
+            gen_ctx = _mesh_ctx(None if multiproc else mesh)
             if cfg.captioner_mode and cfg.generate_nums > 1:
                 cond = jnp.repeat(cond, cfg.generate_nums, axis=0)
             rng, sub = jax.random.split(rng)
-            toks = generate(model, params, cond, gen_cfg, rng=sub)
-            caps = tokenizer.batch_decode(np.asarray(toks))
-            for vid, cap in zip(list(batch["ids"])[:nv], caps):
+            with gen_ctx:
+                toks = generate(model, params, cond, gen_cfg, rng=sub)
+            caps = tokenizer.batch_decode(host_rows(toks))
+            gn = cfg.generate_nums if cfg.captioner_mode else 1
+            # captioner_mode emits generate_nums samples per video, in
+            # row-major (video, sample) order — record every one
+            vids = [v for v in list(batch["ids"])[:nv] for _ in range(gn)]
+            for vid, cap in zip(vids, caps[: nv * gn]):
                 results[st].append({"video_id": vid, "caption": cap})
 
     pt = getattr(loader, "padded_tail", 0)
     if pt:  # cross-host alignment duplicates (loader.py _indices)
+        gn = cfg.generate_nums if cfg.captioner_mode else 1
         for st in subtasks:
-            results[st] = results[st][: len(results[st]) - pt]
+            results[st] = results[st][: len(results[st]) - pt * gn]
     val_log = {}
     out_dir = os.path.join(run_cfg.get("output_dir", "."),
                            f"results_test_{dset_name}")
@@ -359,22 +412,31 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
 
     gt_rows = []
     preds = {st: [] for st in subtasks}
-    for batch, nv in _full_batches(loader):
+    multiproc = jax.process_count() > 1
+    for batch, nv in _full_batches(loader, mesh):
         gt_rows += list(batch["raw_answers"])[:nv]
-        out = cond_fn(params, _device_batch(batch, mesh),
-                      subtasks=tuple(subtasks), vision_transforms=vt)
+        with _mesh_ctx(mesh):
+            out = cond_fn(params, _device_batch(batch, mesh),
+                          subtasks=tuple(subtasks), vision_transforms=vt)
+        # prompts are host-local numpy; on pods the condition features
+        # are localized to this host's rows so generation shapes match
+        # and run host-locally (see evaluate_cap)
         q_ids = np.asarray(batch["question_tokens"])
         q_mask = np.asarray(batch["question_attention_mask"])
         b = q_ids.shape[0]
         prompt = np.concatenate(
             [q_ids, np.full((b, 1), tokenizer.bos_token_id, np.int32)], 1)
         pmask = np.concatenate([q_mask, np.ones((b, 1), np.int32)], 1)
+        gen_ctx = _mesh_ctx(None if multiproc else mesh)
         for st in subtasks:
             cond = out[f"condition_feats_{st}"]
-            toks = generate(model, params, cond, gen_cfg,
-                            prompt_ids=jnp.asarray(prompt),
-                            prompt_mask=jnp.asarray(pmask))
-            preds[st] += tokenizer.batch_decode(np.asarray(toks))[:nv]
+            if multiproc:
+                cond = jnp.asarray(host_rows(cond))
+            with gen_ctx:
+                toks = generate(model, params, cond, gen_cfg,
+                                prompt_ids=jnp.asarray(prompt),
+                                prompt_mask=jnp.asarray(pmask))
+            preds[st] += tokenizer.batch_decode(host_rows(toks))[:nv]
 
     pt = getattr(loader, "padded_tail", 0)
     if pt:  # cross-host alignment duplicates (loader.py _indices)

@@ -215,10 +215,17 @@ _tmajor_biased_call.defvjp(_tmajor_biased_fwd, _tmajor_biased_bwd)
 
 def flash_self_attention_tmajor_biased(qkv, bias, heads, lk_true, scale,
                                        interpret=False):
+    if bias.shape[0] == 1 and qkv.shape[0] != 1:
+        # the kernel's bias BlockSpec is indexed by batch row and its
+        # backward emits a full-batch dbias, so a shared bias must be
+        # materialized per row (BEATs always passes per-sample biases;
+        # this keeps the shared-bias case correct instead of tracing
+        # a kernel with an out-of-bounds size-1 block dim)
+        bias = jnp.broadcast_to(bias, (qkv.shape[0],) + bias.shape[1:])
     return _shard_map_batch(
         lambda x, b: _tmajor_biased_call(x, b, heads, lk_true, scale,
                                          interpret),
-        (qkv, bias), (0, 0 if bias.shape[0] != 1 else None))
+        (qkv, bias), (0, 0))
 
 
 def _use_pallas_shapes(b, lq, lk, h, d, has_bias=True) -> bool:

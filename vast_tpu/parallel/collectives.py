@@ -17,6 +17,30 @@ import numpy as np
 import jax
 
 
+def host_rows(x) -> np.ndarray:
+    """This host's batch rows of a jit output, as numpy.
+
+    Single-process (and plain numpy) passes through. On pods, jitted
+    eval programs consume GLOBAL batches (shard_batch assembles them
+    with make_array_from_process_local_data), so their outputs span
+    processes and ``np.asarray`` would raise ("jax.Array that spans
+    non-addressable devices"). The addressable shards are exactly this
+    host's rows — in local order, matching the host-local inputs that
+    produced them — so ``gather_array(host_rows(x))`` reassembles the
+    global order the id lists use. Shards replicated across mesh axes
+    (fsdp/tp) dedup by their batch offset.
+    """
+    if isinstance(x, np.ndarray) or jax.process_count() == 1:
+        return np.asarray(x)
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = {}
+    for s in x.addressable_shards:
+        start = (s.index[0].start or 0) if s.index else 0
+        shards.setdefault(start, np.asarray(s.data))
+    return np.concatenate([shards[k] for k in sorted(shards)], axis=0)
+
+
 def gather_array(x: np.ndarray) -> np.ndarray:
     """Concatenate a per-host array along axis 0 across hosts.
 

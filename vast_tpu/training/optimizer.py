@@ -52,11 +52,20 @@ def param_labels(params, new_params_name: tuple[str, ...],
 
 
 def build_optimizer(params, run_cfg, model_cfg, num_train_steps: int):
-    """Returns (optax GradientTransformation, labels pytree)."""
+    """Returns (optax GradientTransformation, labels pytree).
+
+    ``num_train_steps`` counts MICRO-batches (the trainer's step budget).
+    Under true gradient accumulation the inner schedule advances once per
+    OUTER update (MultiSteps passes through every k-th micro-batch), so
+    its horizon is num_train_steps // accum — otherwise a run would end
+    with the warmup/decay curve only 1/k complete.
+    """
     betas = tuple(run_cfg.get("betas", (0.9, 0.98)))
     wd = run_cfg.get("weight_decay", 0.01)
+    accum = int(run_cfg.get("gradient_accumulation_steps", 1) or 1)
     sched = make_optax_schedule(
-        num_train_steps, run_cfg.get("scheduler", "warmup_linear"),
+        max(num_train_steps // accum, 1),
+        run_cfg.get("scheduler", "warmup_linear"),
         run_cfg.get("warmup_ratio", 0.1))
 
     lrs = {
@@ -106,7 +115,11 @@ def build_optimizer(params, run_cfg, model_cfg, num_train_steps: int):
 
     def adamw(lr, weight_decay):
         def scaled(count):
-            return lr * sched(count)
+            # optax's count is the number of PREVIOUS updates (0 on the
+            # first), but the reference evaluates the ratio at the
+            # current 1-based step (utils/pipeline.py) — without the +1
+            # the first update gets LR=0 and is a silent no-op
+            return lr * sched(count + 1)
 
         name = run_cfg.get("optim", "adamw")
         if name == "adamw":
@@ -143,7 +156,6 @@ def build_optimizer(params, run_cfg, model_cfg, num_train_steps: int):
     tx = optax.multi_transform(transforms, labels)
     if run_cfg.get("grad_norm", -1) and run_cfg.get("clip_grads", False):
         tx = optax.chain(optax.clip_by_global_norm(run_cfg["grad_norm"]), tx)
-    accum = int(run_cfg.get("gradient_accumulation_steps", 1) or 1)
     if accum > 1:
         # TRUE gradient accumulation: average grads over `accum`
         # micro-batches, apply one optimizer update (the reference only

@@ -18,12 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from vast_tpu.parallel.mesh import (
-    combined_param_sharding,
-    fsdp_param_sharding,
-    replicated,
-    tp_param_sharding,
-)
+from vast_tpu.parallel.mesh import combined_param_sharding, replicated
 
 
 @flax.struct.dataclass
