@@ -97,6 +97,15 @@ def main():
         if opts.run_cfg.get("first_eval") or opts.run_cfg.get("zero_shot"):
             eval_params = state.params if state is not None else \
                 pipeline.init_params(model, opts, tokenizer)
+            if state is None and opts.run_cfg.get("resume"):
+                # the full resume happens inside pipeline.train (after
+                # shard_state), but the pre-training eval must still see
+                # the checkpoint's weights, not the fresh init
+                from vast_tpu.training.saver import ModelSaver
+                saver = ModelSaver(opts.run_cfg.output_dir)
+                step = saver.latest_step()
+                if step is not None:
+                    eval_params = saver.restore_params(step, eval_params)
             pipeline.test(model, opts, tokenizer, val_loaders, eval_params)
             if opts.run_cfg.get("zero_shot"):
                 return

@@ -53,6 +53,10 @@ def test_resume_continues_from_checkpoint(synth):
     training test above and trains on to step 6 (restore happens inside
     pipeline.train AFTER shard_state — the round-3 moment-wipe fix)."""
     root, anno, annfile = synth
+    # precondition, NOT vacuous: the step-4 checkpoint from the training
+    # test must exist, or this would silently train 0->6 from scratch
+    assert os.path.isdir(os.path.join(root, "output", "ckpt",
+                                      "model_step_4"))
     cfg_path = make_task_config(root, anno, annfile, task="ret%tva_cap%tva",
                                 steps=4)
     run_main(["--config", cfg_path, "--resume", "--num_train_steps", "6"])

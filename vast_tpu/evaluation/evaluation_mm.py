@@ -144,12 +144,9 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
     cond_feats = {st: [] for st in subtasks}
     cond_seqs = {st: [] for st in subtasks}
 
-    batch_size = None
     for batch, nv in _full_batches(loader, mesh):
         ids += list(batch["ids"])[:nv]
         ids_txt += list(batch["ids_txt"])[:nv]
-        if batch_size is None:
-            batch_size = len(batch["ids"])
         with _mesh_ctx(mesh):
             out = cond_fn(params, _device_batch(batch, mesh),
                           subtasks=tuple(subtasks), vision_transforms=vt)
@@ -427,12 +424,14 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
         prompt = np.concatenate(
             [q_ids, np.full((b, 1), tokenizer.bos_token_id, np.int32)], 1)
         pmask = np.concatenate([q_mask, np.ones((b, 1), np.int32)], 1)
-        gen_ctx = _mesh_ctx(None if multiproc else mesh)
         for st in subtasks:
             cond = out[f"condition_feats_{st}"]
             if multiproc:
                 cond = jnp.asarray(host_rows(cond))
-            with gen_ctx:
+            # a fresh context per subtask: jax.set_mesh activates in
+            # __init__ and a spent manager would leave later subtasks
+            # running with the mesh restored OFF (kernels replicated)
+            with _mesh_ctx(None if multiproc else mesh):
                 toks = generate(model, params, cond, gen_cfg,
                                 prompt_ids=jnp.asarray(prompt),
                                 prompt_mask=jnp.asarray(pmask))
@@ -443,10 +442,10 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
         gt_rows = gt_rows[: len(gt_rows) - pt]
         for st in subtasks:
             preds[st] = preds[st][: len(preds[st]) - pt]
-    gt_answers = [a for row in gt_rows
-                  for a in (row if isinstance(row, list) else [row])]
     val_log = {}
-    gt_answers = gather_list(gt_answers)
+    # keep ONE ground-truth row per prediction — multi-answer rows stay
+    # lists and exact_match_accuracy scores a hit on any element
+    gt_answers = gather_list(gt_rows)
     for st in subtasks:
         preds[st] = gather_list(preds[st])
         acc = exact_match_accuracy(preds[st], gt_answers)

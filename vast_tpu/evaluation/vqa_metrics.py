@@ -43,11 +43,16 @@ def normalize_answer(ans: str) -> str:
     return " ".join(words)
 
 
-def exact_match_accuracy(preds: list[str], gts: list[str]) -> float:
-    """Plain equality accuracy (evaluation_mm.py:94-96)."""
+def exact_match_accuracy(preds: list[str], gts: list) -> float:
+    """Plain equality accuracy (evaluation_mm.py:94-96), one gt entry per
+    prediction; a list-valued entry (multi-annotator answers) scores a
+    hit when the prediction matches ANY of its elements."""
     assert len(preds) == len(gts)
-    hits = sum(p == g for p, g in zip(preds, gts))
-    return hits / max(len(gts), 1)
+
+    def hit(p, g):
+        return p in g if isinstance(g, (list, tuple)) else p == g
+
+    return sum(map(hit, preds, gts)) / max(len(gts), 1)
 
 
 def vqa_accuracy(preds: list[str], gt_answer_lists: list[list[str]]) -> float:
