@@ -113,6 +113,8 @@ def test_vqa_normalization_and_accuracy():
     assert normalize_answer("two") == "2"
     assert normalize_answer("isnt") == "isn't"
     assert exact_match_accuracy(["a", "b"], ["a", "c"]) == 0.5
+    # multi-annotator rows: a hit on ANY listed answer counts
+    assert exact_match_accuracy(["a", "b"], [["x", "a"], ["y"]]) == 0.5
     acc = vqa_accuracy(["cat"], [["cat", "cat", "cat", "dog"] * 3])
     assert acc == 1.0
     acc = vqa_accuracy(["cat"], [["cat", "dog", "dog", "bird"]])
