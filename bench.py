@@ -148,15 +148,27 @@ def _make_media_fixtures():
     if not runtime.media_available():
         return None
     os.makedirs(MEDIA_DIR, exist_ok=True)
+
+    def _encode(path, fn, *a, **kw):
+        # encode to a temp name and rename: a run killed mid-encode must
+        # not leave a truncated file that every later run reuses forever
+        if os.path.exists(path):
+            return True
+        tmp = path + ".tmp"
+        if not fn(tmp, *a, **kw):
+            return False
+        os.replace(tmp, path)
+        return True
+
     vids, auds = [], []
     for i in range(N_CLIPS):
         v = os.path.join(MEDIA_DIR, f"clip_{i}.mp4")
         a = os.path.join(MEDIA_DIR, f"tone_{i}.mp3")
-        if not os.path.exists(v) and not runtime.encode_video(
-                v, w=320, h=240, n_frames=CLIP_FRAMES, fps=CLIP_FPS):
+        if not _encode(v, runtime.encode_video, w=320, h=240,
+                       n_frames=CLIP_FRAMES, fps=CLIP_FPS):
             return None
-        if not os.path.exists(a) and not runtime.encode_audio_tone(
-                a, 16000, 160000, freq=200.0 + 13.0 * i):
+        if not _encode(a, runtime.encode_audio_tone, 16000, 160000,
+                       freq=200.0 + 13.0 * i):
             return None
         vids.append(v)
         auds.append(a)
@@ -202,12 +214,17 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads):
     q = queue.Queue(maxsize=2)
 
     def producer():
-        i = 0
-        for _ in range(n_batches):
-            sel = [(i + j) % N_CLIPS for j in range(INFER_BATCH)]
-            i += INFER_BATCH
-            q.put(_decode_batch([vids[s] for s in sel],
-                                [auds[s] for s in sel], n_threads))
+        # exceptions travel through the queue: a dead producer would
+        # otherwise leave the consumer blocked in q.get() forever
+        try:
+            i = 0
+            for _ in range(n_batches):
+                sel = [(i + j) % N_CLIPS for j in range(INFER_BATCH)]
+                i += INFER_BATCH
+                q.put(_decode_batch([vids[s] for s in sel],
+                                    [auds[s] for s in sel], n_threads))
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            q.put(e)
 
     caption = {
         "caption_tokens": jnp.asarray(
@@ -219,7 +236,10 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads):
     t.start()
     out = None
     for _ in range(n_batches):
-        frames, wavs = q.get()
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        frames, wavs = item
         out = infer(params, dict(caption,
                                  vision_frames=jnp.asarray(frames),
                                  audio_waveforms=jnp.asarray(wavs)))

@@ -94,21 +94,9 @@ def main():
                                     opts.run_cfg.num_train_steps or 1)
             state = create_train_state(params, tx)
 
-        if opts.run_cfg.get("first_eval") or opts.run_cfg.get("zero_shot"):
-            eval_params = state.params if state is not None else \
-                pipeline.init_params(model, opts, tokenizer)
-            if state is None and opts.run_cfg.get("resume"):
-                # the full resume happens inside pipeline.train (after
-                # shard_state), but the pre-training eval must still see
-                # the checkpoint's weights, not the fresh init
-                from vast_tpu.training.saver import ModelSaver
-                saver = ModelSaver(opts.run_cfg.output_dir)
-                step = saver.latest_step()
-                if step is not None:
-                    eval_params = saver.restore_params(step, eval_params)
-            pipeline.test(model, opts, tokenizer, val_loaders, eval_params)
-            if opts.run_cfg.get("zero_shot"):
-                return
+        # first_eval / zero_shot run INSIDE pipeline.train, after
+        # shard_state and the resume restore: restoring into host-local
+        # arrays for a pre-training eval is rejected by orbax on pods
         pipeline.train(model, opts, tokenizer, train_loader, val_loaders,
                        state=state, start_step=start_step)
     elif opts.run_cfg.mode == "testing":

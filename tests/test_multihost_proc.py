@@ -187,3 +187,36 @@ def test_two_process_collective_save_restore(tmp_path):
     outs = [p.communicate(timeout=300)[0] for p in procs]
     for i, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and f"SAVE OK {i}" in o, f"host {i}:\n{o}"
+
+
+def test_assemble_addressable_rows_non_batch_split():
+    """host_rows must reassemble shards that also split a NON-batch dim
+    (a tp split propagated into an unpinned output) instead of keeping
+    one fragment per row offset — that would silently truncate features
+    and corrupt retrieval scores."""
+    import numpy as np
+
+    from vast_tpu.parallel.collectives import assemble_addressable_rows
+
+    full = np.arange(4 * 6, dtype=np.float32).reshape(4, 6)
+    shards = []
+    for r0, r1 in ((0, 2), (2, 4)):
+        for c0, c1 in ((0, 3), (3, 6)):
+            idx = (slice(r0, r1), slice(c0, c1))
+            shards.append((idx, full[r0:r1, c0:c1]))
+    # replicated duplicates (an fsdp axis) must dedup, not double-count
+    shards += shards[:2]
+    out = assemble_addressable_rows(shards, full.shape, full.dtype)
+    np.testing.assert_array_equal(out, full)
+
+    # batch-only sharding (the common case) passes through per row group
+    shards = [((slice(0, 2), slice(0, 6)), full[0:2]),
+              ((slice(2, 4), slice(0, 6)), full[2:4])]
+    out = assemble_addressable_rows(shards, full.shape, full.dtype)
+    np.testing.assert_array_equal(out, full)
+
+    # shards that do NOT tile the feature dim raise instead of guessing
+    import pytest as _pytest
+    bad = [((slice(0, 4), slice(0, 3)), full[:, 0:3])]
+    with _pytest.raises(ValueError, match="do not tile"):
+        assemble_addressable_rows(bad, full.shape, full.dtype)

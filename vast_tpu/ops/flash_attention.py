@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 SINGLE_BLOCK_MAX_KV = 4096
+# shared per-grid-step VMEM budget for kernel G-selection and routing gates
+TMAJOR_VMEM_BUDGET = 13 * 2 ** 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -186,7 +188,7 @@ def flash_attention(q, k, v, bias=None, *, block_q: int = 512,
         per_g = (2 * lk * d * q.dtype.itemsize          # k + v blocks
                  + 2 * block_q * lk * 4                 # s + p fp32
                  + 2 * block_q * d * q.dtype.itemsize)  # q + o
-        budget = 13 * 1024 * 1024
+        budget = TMAJOR_VMEM_BUDGET
         g = 1
         for cand in (8, 4, 2):
             if bh % cand == 0 and cand * per_g <= budget:
@@ -488,10 +490,11 @@ def flash_attention_bwd(q, k, v, bias, o, lse, do, *, block_q: int = 512,
     per_g = (4 * lq * lk * 4                       # s, p, dp, ds fp32
              + 4 * lq * d * q.dtype.itemsize       # q, do, dq, +slack
              + 4 * lk * d * q.dtype.itemsize)      # k, v, dk, dv
-    if lq <= 512 and lk <= SINGLE_BLOCK_MAX_KV and per_g <= 13 * 2 ** 20:
+    if lq <= 512 and lk <= SINGLE_BLOCK_MAX_KV \
+            and per_g <= TMAJOR_VMEM_BUDGET:
         g = 1
         for cand in (8, 4, 2):
-            if bh % cand == 0 and cand * per_g <= 13 * 2 ** 20:
+            if bh % cand == 0 and cand * per_g <= TMAJOR_VMEM_BUDGET:
                 g = cand
                 break
         bias_per_bh = has_bias and biasf.shape[0] == bh
@@ -719,6 +722,15 @@ def _hc_for(dp: int, heads: int) -> int:
     return hc
 
 
+def _tmajor_per_g(lp, width, itemsize, tensors, scores):
+    """VMEM bytes of ONE grid step of a token-sliced kernel: ``tensors``
+    Lp x ``width`` tensor blocks plus ``scores`` fp32 Lp x Lp score
+    tiles. The single source of truth shared by the kernels' g-selection
+    (_tmajor_g) and the call-site routing gate (tmajor_fits_vmem) — the
+    two MUST agree or the gate stops preventing g=1 compile crashes."""
+    return tensors * lp * width * itemsize + scores * lp * lp * 4
+
+
 def tmajor_fits_vmem(lp: int, dp: int, itemsize: int, heads: int = 1,
                      has_bias: bool = False) -> bool:
     """Whether the token-sliced BACKWARD fits the VMEM budget at g=1
@@ -732,17 +744,17 @@ def tmajor_fits_vmem(lp: int, dp: int, itemsize: int, heads: int = 1,
     if heads % hc:
         hc = 1
     scores = 4 + (2 * hc if has_bias else 0)
-    per_g = 8 * lp * hc * dp * itemsize + scores * lp * lp * 4
-    return per_g <= 13 * 2 ** 20
+    return _tmajor_per_g(lp, hc * dp, itemsize, 8, scores) \
+        <= TMAJOR_VMEM_BUDGET
 
 
 def _tmajor_g(lp, width, dtype_size, tensors, scores, batch):
     """Largest G in (8,4,2,1) dividing ``batch`` whose VMEM footprint
     (``tensors`` L x ``width`` blocks + ``scores`` fp32 L x L tiles)
     fits."""
-    per_g = tensors * lp * width * dtype_size + scores * lp * lp * 4
+    per_g = _tmajor_per_g(lp, width, dtype_size, tensors, scores)
     for cand in (8, 4, 2):
-        if batch % cand == 0 and cand * per_g <= 13 * 2 ** 20:
+        if batch % cand == 0 and cand * per_g <= TMAJOR_VMEM_BUDGET:
             return cand
     return 1
 

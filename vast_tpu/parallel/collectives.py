@@ -34,11 +34,48 @@ def host_rows(x) -> np.ndarray:
         return np.asarray(x)
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
-    shards = {}
-    for s in x.addressable_shards:
-        start = (s.index[0].start or 0) if s.index else 0
-        shards.setdefault(start, np.asarray(s.data))
-    return np.concatenate([shards[k] for k in sorted(shards)], axis=0)
+    return assemble_addressable_rows(
+        [(s.index, s.data) for s in x.addressable_shards],
+        x.shape, x.dtype)
+
+
+def assemble_addressable_rows(shards, shape, dtype) -> np.ndarray:
+    """Reassemble this host's rows from (index, data) shards.
+
+    Shards replicated across mesh axes (fsdp/tp) dedup by index. When an
+    output is also sharded over a NON-batch dim (e.g. a tp split
+    propagated into an unpinned head output), each row group's fragments
+    are tiled back together from their slice indices — keeping only one
+    fragment per row offset would silently truncate features."""
+    groups: dict = {}
+    for idx, data in shards:
+        rows = ((idx[0].start or 0, idx[0].stop if idx[0].stop is not None
+                 else shape[0]) if idx else (0, shape[0]))
+        key = tuple(
+            (sl.start or 0, sl.stop if sl.stop is not None else shape[1 + i])
+            for i, sl in enumerate(idx[1:]))
+        groups.setdefault(rows, {}).setdefault(key, data)
+    blocks = []
+    for rows in sorted(groups):
+        group = groups[rows]
+        first = np.asarray(next(iter(group.values())))
+        if first.shape[1:] == tuple(shape[1:]):
+            blocks.append(first)
+            continue
+        fragments = sorted(group.items())
+        block = np.empty((first.shape[0],) + tuple(shape[1:]), dtype)
+        filled = 0
+        for key, data in fragments:
+            data = np.asarray(data)
+            block[(slice(None),) + tuple(slice(a, b) for a, b in key)] = data
+            filled += data.size
+        if filled != block.size:
+            raise ValueError(
+                "host_rows: addressable shards do not tile the non-batch "
+                f"dims of {tuple(shape)} (covered {filled}/{block.size} "
+                "elements)")
+        blocks.append(block)
+    return np.concatenate(blocks, axis=0)
 
 
 def gather_array(x: np.ndarray) -> np.ndarray:

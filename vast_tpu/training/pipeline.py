@@ -202,6 +202,22 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
         # and orbax restores into the mesh-placed state's shardings,
         # which pods require (host-local targets are rejected)
         state, start_step = saver.restore_latest(state)
+
+    if run_cfg.get("first_eval") or run_cfg.get("zero_shot"):
+        # pre-training eval (run.py:38-41, default first_eval=true). It
+        # runs HERE — after shard_state and the resume restore — so the
+        # evaluated params are the checkpoint's, mesh-placed (restoring
+        # into host-local arrays is rejected by orbax on pods)
+        eval_log = evaluate_fn(model, state.params, tokenizer, val_loaders,
+                               run_cfg, start_step, mesh=mesh)
+        for task_name, val_log in eval_log.items():
+            for eval_name, metric in val_log.items():
+                if jax.process_index() == 0:
+                    LOGGER.info("eval %s_%s @ step %d: %s", task_name,
+                                eval_name, start_step, metric)
+        if run_cfg.get("zero_shot"):
+            return state, {}
+
     step_fns = {}
     meters = {}
     metric_logger_dict = defaultdict(dict)
