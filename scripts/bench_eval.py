@@ -64,7 +64,8 @@ def main():
     from vast_tpu.models.bert import BertConfig
     d = (model.cfg.bert_cfg or BertConfig()).hidden_size
 
-    def bench_rerank(chunk):
+    def bench_rerank_pairwise(chunk):
+        """The pre-grouping path: K/V projected per (text, cand) pair."""
         cond = jnp.asarray(rs.randn(chunk, COND_TOKENS, d), jnp.float32)
         ids = jnp.asarray(rs.randint(1000, 20000, (chunk, 40)), jnp.int32)
         mask = jnp.ones((chunk, 40), jnp.int32)
@@ -78,15 +79,37 @@ def main():
         np.asarray(out)  # drain
         return chunk * iters / (time.perf_counter() - t0)
 
-    results = {}
-    for chunk in (32, 64, 128):
-        results[f"rerank_pairs_per_sec_chunk{chunk}"] = round(
-            bench_rerank(chunk), 1)
+    def bench_rerank_grouped(g, t):
+        """The shipping path: K/V once per candidate, texts folded onto
+        the shared K/V (rerank_scores / compute_slice_scores_grouped)."""
+        from vast_tpu.evaluation.evaluation_mm import _grouped_scores
+        cond = jnp.asarray(rs.randn(g, COND_TOKENS, d), jnp.float32)
+        ids = jnp.asarray(rs.randint(1000, 20000, (g * t, 40)), jnp.int32)
+        mask = jnp.ones((g * t, 40), jnp.int32)
+        fn = jax.jit(functools.partial(_grouped_scores, model))
+        np.asarray(fn(params, cond, ids, mask))  # compile
+        iters = 8
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(params, cond, ids, mask)
+        np.asarray(out)
+        return g * t * iters / (time.perf_counter() - t0)
 
-    best = max(results.values())
-    # full MSR-VTT rerank: both directions, top-50 per row/col
-    results["msrvtt1k_full_rerank_seconds"] = round(
-        2 * N_TEXT * TOP_K / best, 1)
+    results = {}
+    results["rerank_pairs_per_sec_pairwise_chunk64"] = round(
+        bench_rerank_pairwise(64), 1)
+    best_cfg, best = None, 0.0
+    for g, t in ((8, 16), (4, 32), (2, 64)):
+        rate = bench_rerank_grouped(g, t)
+        results[f"rerank_pairs_per_sec_grouped_g{g}t{t}"] = round(rate, 1)
+        if rate > best:
+            best_cfg, best = (g, t), rate
+    # full MSR-VTT rerank, both directions: every candidate owns ~TOP_K
+    # texts, padded up to segment multiples of t
+    g, t = best_cfg
+    slots = 2 * N_TEXT * -(-TOP_K // t) * t
+    results["msrvtt1k_full_rerank_seconds"] = round(slots / best, 1)
 
     def bench_generate(num_beams, batch):
         cond = jnp.asarray(rs.randn(batch, COND_TOKENS, d), jnp.float32)

@@ -239,14 +239,21 @@ def _device_batch(batch, mesh=None):
 
 def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
                   itc_scores, top_k, direction: str = "forward",
-                  chunk: int = 64, mesh=None):
+                  texts_per_seg: int = 32, conds_per_call: int = 4,
+                  mesh=None):
     """Batched ITM rerank: score the ITC top-k (text, cond) pairs.
 
     ``direction='forward'`` reranks each text's top-k candidate videos;
     ``'backward'`` each video's top-k candidate texts. Returns a matrix
     with ITM probabilities at reranked cells and 0 elsewhere — ranking
     semantics identical to refine_score_matrix (evaluation_mm.py:253-319)
-    but O(N*k/chunk) device calls instead of a per-column Python loop.
+    but batched device calls instead of a per-column Python loop.
+
+    Pairs are grouped BY CANDIDATE: each candidate condition stream's
+    cross-attention K/V projection — ~90% of a pair's FLOPs at flagship
+    shapes — is computed once per segment of up to ``texts_per_seg``
+    texts instead of once per pair (compute_slice_scores_grouped), and
+    ``conds_per_call`` segments batch into one fixed-shape device call.
     """
     n_text, n_cond = itc_scores.shape
     if direction == "forward":
@@ -260,28 +267,52 @@ def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
         pair_c = np.tile(np.arange(n_cond), k)
         pair_t = top.reshape(-1)
 
+    by_cand: dict = {}
+    for t, c in zip(pair_t.tolist(), pair_c.tolist()):
+        by_cand.setdefault(c, []).append(t)
+    seg = texts_per_seg
+    segs = [(c, ts[s:s + seg]) for c, ts in by_cand.items()
+            for s in range(0, len(ts), seg)]
+
     # rerank inputs are globally gathered and IDENTICAL on every host:
     # on pods each host scores the full pair set locally (shard_batch
     # would wrongly treat the identical chunks as distinct host shards
     # and double the batch); single-process keeps the mesh SPMD path
     if jax.process_count() > 1:
         mesh = None
-    score_fn = jax.jit(functools.partial(_slice_scores, model))
+    g = conds_per_call
+    if mesh is not None:
+        # the candidate dim (G) must divide the data axes; query rows
+        # (G*seg) then split along the same groups
+        n = mesh.shape["dp"] * mesh.shape["fsdp"]
+        g = -(-g // n) * n
+    score_fn = jax.jit(functools.partial(_grouped_scores, model))
     out = np.zeros_like(itc_scores)
-    n_pairs = pair_t.shape[0]
-    for s in range(0, n_pairs, chunk):
-        t_idx = pair_t[s:s + chunk]
-        c_idx = pair_c[s:s + chunk]
-        ids_chunk, valid = _pad_to(input_ids[t_idx], chunk)
-        mask_chunk, _ = _pad_to(attention_mask[t_idx], chunk)
-        cond_chunk, _ = _pad_to(cond_seqs[c_idx], chunk)
-        db = _device_batch({"c": cond_chunk, "i": ids_chunk,
-                            "m": mask_chunk}, mesh)
+    for s0 in range(0, len(segs), g):
+        batch = segs[s0:s0 + g]
+        cands = np.zeros(g, np.int64)
+        tmat = np.zeros((g, seg), np.int64)
+        valid = np.zeros((g, seg), bool)
+        for gi, (c, ts) in enumerate(batch):
+            cands[gi] = c
+            tmat[gi, : len(ts)] = ts
+            valid[gi, : len(ts)] = True
+        flat_t = tmat.reshape(-1)
+        db = _device_batch({"c": cond_seqs[cands],
+                            "i": input_ids[flat_t],
+                            "m": attention_mask[flat_t]}, mesh)
         with _mesh_ctx(mesh):
             scores = np.asarray(score_fn(params, db["c"], db["i"],
-                                         db["m"]))[valid]
-        out[t_idx, c_idx] = scores
+                                         db["m"])).reshape(g, seg)
+        for gi in range(len(batch)):
+            out[tmat[gi, valid[gi]], cands[gi]] = scores[gi, valid[gi]]
     return out
+
+
+def _grouped_scores(model, params, cond, ids, mask):
+    return model.apply(
+        {"params": params}, cond, ids, mask,
+        method=lambda m, c, i, a: m.compute_slice_scores_grouped(c, i, a))
 
 
 def _slice_scores(model, params, cond, ids, mask):

@@ -112,8 +112,27 @@ class BertAttention(nn.Module):
         b, lq, _ = hidden.shape
 
         q = self._heads(self.query, hidden)
+        kv_groups = 1
         if precomputed_kv is not None:
             k, v = precomputed_kv
+            if k.shape[0] != b:
+                # beam-tiled queries over SHARED cross K/V: condition
+                # features are beam-invariant, so beam decode keeps ONE
+                # K/V copy and folds the beams into the query length —
+                # the per-step HBM read of the (Lc x hidden x layers)
+                # cross cache drops by the beam count (the decode
+                # bottleneck; see models/generation.py)
+                if b % k.shape[0]:
+                    raise ValueError(
+                        f"query batch {b} is not a multiple of the "
+                        f"precomputed K/V batch {k.shape[0]}")
+                kv_groups = b // k.shape[0]
+                if mask is not None:
+                    raise NotImplementedError(
+                        "beam-grouped cross-attention assumes unmasked "
+                        "condition features")
+                q = q.reshape(k.shape[0], kv_groups * lq,
+                              c.num_attention_heads, c.head_dim)
         else:
             src = hidden if kv_source is None else kv_source
             k = self._heads(self.key, src)
@@ -129,6 +148,8 @@ class BertAttention(nn.Module):
             new_cache = {"k": k, "v": v}
 
         out = multi_head_attention(q, k, v, mask=mask)
+        if kv_groups > 1:
+            out = out.reshape(b, lq, c.num_attention_heads, c.head_dim)
         out = out.reshape(b, lq, c.hidden_size)
         out = self.out(out)
         out = self.dropout(out, deterministic=deterministic)

@@ -173,7 +173,10 @@ def _beam_search(bert, cache, cross_kv, cache_mask, last_tok, p, cfg, b):
         return jnp.repeat(x, k, axis=0)  # (B,...) -> (B*k,...) beam-minor
 
     cache = jax.tree.map(tile, cache)
-    cross_kv = jax.tree.map(tile, cross_kv)
+    # cross_kv is NOT tiled: condition features are beam-invariant, and
+    # BertAttention folds the k-tiled queries onto the shared K/V — the
+    # decode step's dominant HBM read (12 layers x Lc x hidden of cross
+    # K/V) stays at batch b instead of b*k
     cache_mask = tile(cache_mask)
 
     t_max = cfg.max_new_tokens

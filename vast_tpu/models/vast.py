@@ -733,6 +733,24 @@ class VASTModel(nn.Module):
         return jax.nn.softmax(self.itm_head(fused[:, 0]).astype(jnp.float32),
                               axis=1)[:, 1]
 
+    def compute_slice_scores_grouped(self, condition_feats, input_ids,
+                                     attention_mask):
+        """ITM rerank scores with per-candidate K/V reuse.
+
+        ``input_ids`` (G*T, L) texts score against ``condition_feats``
+        (G, Lc, D) candidates — text row g*T+j pairs with candidate g.
+        The candidate's cross-attention K/V projection (the (Lc~2300,
+        768) condition stream through 12 layers of K/V Dense — ~90% of
+        compute_slice_scores' FLOPs at flagship shapes) runs ONCE per
+        candidate; BertAttention folds the T texts onto the shared K/V
+        (models/bert.py kv_groups). Same math as compute_slice_scores
+        pair-by-pair."""
+        kv = self.multimodal_encoder.precompute_cross_kv(condition_feats)
+        fused = self.multimodal_encoder.encode(
+            input_ids, attention_mask, cross_kv=kv, deterministic=True)
+        return jax.nn.softmax(self.itm_head(fused[:, 0]).astype(jnp.float32),
+                              axis=1)[:, 1]
+
     # ---------------- top-level dispatch (model/vast.py:317-348) --------
 
     def __call__(self, batch, task: str, compute_loss: bool = True,
