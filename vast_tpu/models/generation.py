@@ -3,7 +3,8 @@
 The reference decodes by appending a [MASK] token each step and predicting
 it through HF ``generate`` (bert.py:1027-1044, model/vast.py:529-547),
 re-running the whole prefix per step with dynamic shapes. Here the decode
-loop is a ``lax.scan`` over a KV cache: each step feeds the 2-token
+loop is a fixed-shape ``lax.while_loop`` (exiting early once every row is
+finished, like HF's stopping rule) over a KV cache: each step feeds the 2-token
 [fixup, MASK] window (see models/bert.py), so shapes are static, XLA
 compiles one step, and each step is O(L) instead of O(L^2).
 
@@ -129,8 +130,17 @@ def _bert_step(bert, tokens2, index, cache, cache_mask, cross_kv):
 
 def _greedy_or_sample(bert, cache, cross_kv, cache_mask, last_tok, p, cfg,
                       rng, b):
-    def step(carry, i):
-        cache, prev_tok, finished, key = carry
+    t_max = cfg.max_new_tokens
+
+    def cond(carry):
+        i, _, _, finished, _, _ = carry
+        # early exit once every row hit EOS (HF generate's stopping rule;
+        # real captions average ~12 of max 40 tokens, so this cuts the
+        # decode's dominant cost — the per-step cross-KV read — ~2-3x)
+        return (i < t_max) & ~jnp.all(finished)
+
+    def step(carry):
+        i, cache, prev_tok, finished, key, toks = carry
         tokens2 = jnp.stack(
             [prev_tok, jnp.full((b,), cfg.mask_id, jnp.int32)], axis=1)
         logits, cache = _bert_step(bert, tokens2, p - 1 + i, cache,
@@ -144,12 +154,14 @@ def _greedy_or_sample(bert, cache, cross_kv, cache_mask, last_tok, p, cfg,
             nxt = jnp.argmax(logits, axis=-1)
         nxt = jnp.where(finished, cfg.pad_id, nxt).astype(jnp.int32)
         finished = finished | (nxt == cfg.eos_id)
-        return (cache, nxt, finished, key), nxt
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
+        return (i + 1, cache, nxt, finished, key, toks)
 
     key = rng if rng is not None else jax.random.PRNGKey(0)
-    init = (cache, last_tok, jnp.zeros((b,), bool), key)
-    _, toks = jax.lax.scan(step, init, jnp.arange(cfg.max_new_tokens))
-    return jnp.swapaxes(toks, 0, 1)  # (B, T)
+    init = (jnp.asarray(0), cache, last_tok, jnp.zeros((b,), bool), key,
+            jnp.full((b, t_max), cfg.pad_id, jnp.int32))
+    out = jax.lax.while_loop(cond, step, init)
+    return out[5]  # (B, T)
 
 
 def _beam_search(bert, cache, cross_kv, cache_mask, last_tok, p, cfg, b):
@@ -189,8 +201,16 @@ def _beam_search(bert, cache, cross_kv, cache_mask, last_tok, p, cfg, b):
     pool_count = jnp.zeros((b,), jnp.int32)
     done = jnp.zeros((b,), bool)
 
-    def step(carry, i):
-        (cache, prev_tok, scores, tokens,
+    def cond(carry):
+        i = carry[0]
+        done = carry[-1]
+        # early exit once every batch's beam pool is closed (the HF
+        # stopping rule); done batches' state is frozen below, so exiting
+        # early returns exactly the state the full t_max loop would
+        return (i < t_max) & ~jnp.all(done)
+
+    def step(carry):
+        (i, cache, prev_tok, scores, tokens,
          pool_scores, pool_tokens, pool_count, done) = carry
         tok2 = jnp.stack(
             [prev_tok.reshape(-1),
@@ -242,14 +262,14 @@ def _beam_search(bert, cache, cross_kv, cache_mask, last_tok, p, cfg, b):
         best_possible = s2k[:, 0] / cur_len ** cfg.length_penalty
         done = done | ((pool_count >= k)
                        & (pool_scores[:, -1] >= best_possible))
-        return (cache, prev_tok, scores, tokens,
-                pool_scores, pool_tokens, pool_count, done), None
+        return (i + 1, cache, prev_tok, scores, tokens,
+                pool_scores, pool_tokens, pool_count, done)
 
-    init = (cache, prev_tok, scores, tokens,
+    init = (jnp.asarray(0), cache, prev_tok, scores, tokens,
             pool_scores, pool_tokens, pool_count, done)
-    (cache, prev_tok, scores, tokens,
-     pool_scores, pool_tokens, pool_count, done), _ = jax.lax.scan(
-        step, init, jnp.arange(t_max))
+    (_, cache, prev_tok, scores, tokens,
+     pool_scores, pool_tokens, pool_count, done) = jax.lax.while_loop(
+        cond, step, init)
 
     # finalize (BeamSearchScorer.finalize): never-done batches add their
     # live beams at full length; best pooled hypothesis wins
