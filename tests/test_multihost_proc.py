@@ -96,6 +96,28 @@ local = local[: len(local) - ld2.padded_tail]
 full = gather_array(local)
 expect = [2.0 * i for i in list(range(0, 11, 2)) + list(range(1, 11, 2))]
 assert full.tolist() == expect, (full.tolist(), expect)
+
+# --- strided multi-host rerank: hosts score disjoint segment strides,
+# sum_across_hosts merges them back to the FULL matrix ----------------
+from vast_tpu.evaluation.evaluation_mm import rerank_scores
+
+class FakeModel:
+    def apply(self, variables, cond, ids, mask, method=None):
+        import jax.numpy as jnp
+        t = ids.shape[0] // cond.shape[0]
+        return jnp.repeat(cond[:, 0, 0], t) + ids[:, 0]
+
+rs = np.random.RandomState(0)
+itc = rs.randn(6, 4)          # identical on both hosts (replicated inputs)
+cseq = rs.randn(4, 3, 2).astype(np.float32)
+tids = rs.randint(0, 50, (6, 5)).astype(np.int32)
+tmask = np.ones((6, 5), np.int32)
+out2 = rerank_scores(FakeModel(), {}, cseq, tids, tmask, itc, top_k=2,
+                     direction="forward", texts_per_seg=2, conds_per_call=2)
+for t in range(6):
+    for c in np.argsort(-itc[t])[:2]:
+        assert abs(out2[t, c] - (cseq[c, 0, 0] + tids[t, 0])) < 1e-4
+assert (out2 != 0).sum() == 12, (out2 != 0).sum()
 print("CHILD OK", pid, flush=True)
 '''
 

@@ -36,7 +36,7 @@ from vast_tpu.evaluation.vqa_metrics import exact_match_accuracy
 from vast_tpu.logger import LOGGER
 from vast_tpu.models.generation import GenerationConfig, generate
 from vast_tpu.parallel.collectives import gather_array, gather_list, \
-    host_rows
+    host_rows, sum_across_hosts
 
 
 def evaluate_mm(model, params, tokenizer, val_loaders: dict, run_cfg,
@@ -274,12 +274,15 @@ def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
     segs = [(c, ts[s:s + seg]) for c, ts in by_cand.items()
             for s in range(0, len(ts), seg)]
 
-    # rerank inputs are globally gathered and IDENTICAL on every host:
-    # on pods each host scores the full pair set locally (shard_batch
-    # would wrongly treat the identical chunks as distinct host shards
-    # and double the batch); single-process keeps the mesh SPMD path
+    # rerank inputs are globally gathered and IDENTICAL on every host.
+    # On pods each host scores a disjoint STRIDE of the segments (the
+    # seg list is deterministic from itc_scores, so strides agree) and
+    # the partial matrices — zeros off-stride — sum back to the full
+    # one below; single-process keeps the mesh SPMD path (shard_batch
+    # would wrongly treat identical multi-host chunks as host shards)
     if jax.process_count() > 1:
         mesh = None
+        segs = segs[jax.process_index()::jax.process_count()]
     g = conds_per_call
     if mesh is not None:
         # the candidate dim (G) must divide the data axes; query rows
@@ -306,7 +309,8 @@ def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
                                          db["m"])).reshape(g, seg)
         for gi in range(len(batch)):
             out[tmat[gi, valid[gi]], cands[gi]] = scores[gi, valid[gi]]
-    return out
+    # pods: merge the hosts' disjoint strides (identity on one host)
+    return sum_across_hosts(out)
 
 
 def _grouped_scores(model, params, cond, ids, mask):

@@ -102,6 +102,19 @@ def gather_array(x: np.ndarray) -> np.ndarray:
                           axis=0)
 
 
+def sum_across_hosts(x: np.ndarray) -> np.ndarray:
+    """Elementwise sum of a per-host array across hosts (identity on a
+    single host). Combines disjoint partial results — e.g. each host's
+    stride of the rerank score matrix (evaluation_mm.rerank_scores),
+    where off-stride cells are zero."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(x))).sum(axis=0)
+
+
 def gather_list(items: list) -> list:
     """Concatenate a per-host list of JSON-serializable items across hosts."""
     if jax.process_count() == 1:
