@@ -221,6 +221,11 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads):
             for _ in range(n_batches):
                 sel = [(i + j) % N_CLIPS for j in range(INFER_BATCH)]
                 i += INFER_BATCH
+                # NO device_put here: measured 11.83 vs 17.41 clips/s —
+                # over the axon relay an off-thread device_put serializes
+                # with the decode pool instead of overlapping (the
+                # consumer-side asarray below pipelines fine through the
+                # 2-deep queue)
                 q.put(_decode_batch([vids[s] for s in sel],
                                     [auds[s] for s in sel], n_threads))
         except BaseException as e:  # noqa: BLE001 — re-raised by consumer

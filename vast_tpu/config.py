@@ -280,6 +280,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--frozen_audio", type=str2bool)
     p.add_argument("--itm_ratio", type=float)
     p.add_argument("--itm_rerank_num", type=int)
+    p.add_argument("--profile_steps", type=int,
+                   help="trace this many train steps (after a 2-step "
+                        "warmup) with jax.profiler into log/profile")
     p.add_argument("--contra_dim", type=int)
     p.add_argument("--beam_size", type=int)
     p.add_argument("--captioner_mode", type=str2bool)

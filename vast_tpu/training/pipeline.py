@@ -251,14 +251,27 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
         if buf is not None:
             yield buf
 
+    # --profile_steps N: trace steps [start+2, start+2+N) with
+    # jax.profiler into <output_dir>/log/profile (TensorBoard/XProf).
+    # Skips the first two steps so compilation isn't in the window.
+    profile_steps = int(run_cfg.get("profile_steps") or 0)
+    profile_dir = os.path.join(run_cfg.output_dir, "log", "profile")
+
     for name, vt, arrays in device_batches():
         task = name.split("--")[0]
         key = (task, vt)
         if key not in step_fns:
             step_fns[key] = make_train_step(model, tx, task, mesh=mesh,
                                             vision_transforms=vt)
+        if profile_steps and global_step == start_step + 2:
+            jax.profiler.start_trace(profile_dir)
         state, metrics = step_fns[key](state, arrays, rng)
         global_step += 1
+        if profile_steps and global_step == start_step + 2 + profile_steps:
+            jax.tree.map(lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+            profile_steps = 0
+            LOGGER.info("profiler trace written to %s", profile_dir)
 
         # fetch metrics to host only periodically: each float() is a
         # device sync, which dominates step time on a remote TPU link
