@@ -129,6 +129,23 @@ def _full_batches(loader, mesh=None):
         yield padded, n
 
 
+def _prefetched_device_batches(loader, mesh):
+    """_full_batches with one-deep device prefetch: batch N+1's H2D
+    upload (async device_put / shard_batch) is issued BEFORE batch N's
+    outputs are fetched, so the transfer overlaps device compute and the
+    host-side result fetch — the eval analogue of the train loop's
+    device_batches (training/pipeline.py). Yields (batch, db, n_valid)
+    with ``db`` the device-placed arrays of ``batch``."""
+    prev = None
+    for batch, nv in _full_batches(loader, mesh):
+        item = (batch, _device_batch(batch, mesh), nv)
+        if prev is not None:
+            yield prev
+        prev = item
+    if prev is not None:
+        yield prev
+
+
 # ------------------------------------------------------------------
 # retrieval (evaluation_mm.py:171-249)
 # ------------------------------------------------------------------
@@ -144,15 +161,15 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
     cond_feats = {st: [] for st in subtasks}
     cond_seqs = {st: [] for st in subtasks}
 
-    for batch, nv in _full_batches(loader, mesh):
+    for batch, db, nv in _prefetched_device_batches(loader, mesh):
         ids += list(batch["ids"])[:nv]
         ids_txt += list(batch["ids_txt"])[:nv]
         with _mesh_ctx(mesh):
-            out = cond_fn(params, _device_batch(batch, mesh),
-                          subtasks=tuple(subtasks), vision_transforms=vt)
-            tb = _device_batch({"t": batch["caption_tokens"],
-                                "m": batch["caption_attention_mask"]}, mesh)
-            ft = text_fn(params, tb["t"], tb["m"])
+            out = cond_fn(params, db, subtasks=tuple(subtasks),
+                          vision_transforms=vt)
+            # text features reuse the already-uploaded caption arrays
+            ft = text_fn(params, db["caption_tokens"],
+                         db["caption_attention_mask"])
         # host_rows: on pods the jit outputs are GLOBAL batches spanning
         # processes; keep only this host's rows (np.asarray would raise)
         for st in subtasks:
@@ -378,10 +395,10 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
     results = {st: [] for st in subtasks}
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
     multiproc = jax.process_count() > 1
-    for batch, nv in _full_batches(loader, mesh):
+    for batch, db, nv in _prefetched_device_batches(loader, mesh):
         with _mesh_ctx(mesh):
-            out = cond_fn(params, _device_batch(batch, mesh),
-                          subtasks=tuple(subtasks), vision_transforms=vt)
+            out = cond_fn(params, db, subtasks=tuple(subtasks),
+                          vision_transforms=vt)
         for st in subtasks:
             cond = out[f"condition_feats_{st}"]
             if multiproc:
@@ -445,11 +462,11 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
     gt_rows = []
     preds = {st: [] for st in subtasks}
     multiproc = jax.process_count() > 1
-    for batch, nv in _full_batches(loader, mesh):
+    for batch, db, nv in _prefetched_device_batches(loader, mesh):
         gt_rows += list(batch["raw_answers"])[:nv]
         with _mesh_ctx(mesh):
-            out = cond_fn(params, _device_batch(batch, mesh),
-                          subtasks=tuple(subtasks), vision_transforms=vt)
+            out = cond_fn(params, db, subtasks=tuple(subtasks),
+                          vision_transforms=vt)
         # prompts are host-local numpy; on pods the condition features
         # are localized to this host's rows so generation shapes match
         # and run host-locally (see evaluate_cap)
