@@ -6,18 +6,22 @@ redesigned (SURVEY §7.3 #6 flagged the first as a potential 100x
 slowdown if ported naively):
 
   * ITM rerank — reference: per-COLUMN Python loop, micro-batches of 25
-    through the fusion encoder (evaluation_mm.py:253-319); here: the ITC
-    top-k (text, candidate) pairs stream through one jitted
-    ``compute_slice_scores`` in fixed-size chunks
+    through the fusion encoder (evaluation_mm.py:253-319); here: pairs
+    grouped BY CANDIDATE, the candidate's cross-attention K/V projected
+    once per segment and its texts folded onto the shared K/V
     (evaluation/evaluation_mm.py rerank_scores).
   * caption/QA generation — reference: HF ``generate`` re-running the
     growing prefix per step with dynamic shapes (bert.py:1027-1044);
-    here: a fixed-shape ``lax.scan`` over a two-token decode window with
-    a KV cache + precomputed cross-attention K/V (models/generation.py).
+    here: a fixed-shape early-exiting ``lax.while_loop`` over a
+    two-token decode window with a KV cache + beam-shared precomputed
+    cross-attention K/V (models/generation.py).
 
-Prints one JSON line: rerank pairs/s/chip (and the derived MSR-VTT-1k
-full-rerank seconds: 1000 texts x top-50, both directions), beam-3 and
-greedy captions/s/chip. Not part of the driver bench contract — run
+Prints one JSON line: rerank pairs/s/chip for the old per-pair path and
+the grouped path, the derived MSR-VTT-1k full-rerank seconds (1000
+texts x top-50, both directions, assuming ~top_k texts per candidate —
+a skewed ITC distribution adds segment padding beyond this estimate),
+beam-3 and greedy captions/s/chip (no-EOS worst case: random params
+never finish early). Not part of the driver bench contract — run
 manually; numbers recorded in BENCH_NOTES.md.
 """
 

@@ -14,10 +14,13 @@ Reference: evaluation/evaluation_mm.py. Differences by design:
 
 Pod execution model: feature extraction is one SPMD program over the
 mesh (batches padded to a mesh-divisible static shape, every host in
-lockstep — _full_batches); everything downstream of the global gathers
-(rerank chunks, generation) runs host-locally on identical data, since
-those inputs are already replicated per host. ``host_rows`` fetches
-this host's rows of a process-spanning jit output.
+lockstep — _full_batches). Downstream of the global gathers the inputs
+are replicated per host; generation runs host-locally on this host's
+rows, and the ITM rerank strides its candidate segments across hosts
+and merges the disjoint partial matrices with sum_across_hosts — a
+COLLECTIVE every host must reach (don't gate rerank_scores on
+process_index). ``host_rows`` fetches this host's rows of a
+process-spanning jit output.
 """
 
 from __future__ import annotations
@@ -77,15 +80,6 @@ def _mesh_ctx(mesh):
     import contextlib
     return jax.set_mesh(mesh) if mesh is not None else \
         contextlib.nullcontext()
-
-
-def _pad_to(arr, n):
-    if arr.shape[0] == n:
-        return arr, np.ones(n, bool)
-    valid = np.zeros(n, bool)
-    valid[: arr.shape[0]] = True
-    pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-    return np.pad(arr, pad), valid
 
 
 def _full_batches(loader, mesh=None):

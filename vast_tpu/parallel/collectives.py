@@ -106,13 +106,24 @@ def sum_across_hosts(x: np.ndarray) -> np.ndarray:
     """Elementwise sum of a per-host array across hosts (identity on a
     single host). Combines disjoint partial results — e.g. each host's
     stride of the rerank score matrix (evaluation_mm.rerank_scores),
-    where off-stride cells are zero."""
+    where off-stride cells are zero.
+
+    Chunked along axis 0 so the allgather materializes at most ~64 MB
+    per host at a time — a full (hosts, n_text, n_cond) stack of a
+    large retrieval matrix on a big pod would otherwise spike memory
+    by hosts x matrix."""
     if jax.process_count() == 1:
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
-    return np.asarray(
-        multihost_utils.process_allgather(np.asarray(x))).sum(axis=0)
+    x = np.asarray(x)
+    row_bytes = max(x[0:1].nbytes, 1) if x.shape[0] else 1
+    rows = max(1, (64 << 20) // row_bytes)
+    out = np.empty_like(x)
+    for s in range(0, x.shape[0], rows):
+        out[s:s + rows] = multihost_utils.process_allgather(
+            x[s:s + rows]).sum(axis=0)
+    return out
 
 
 def gather_list(items: list) -> list:

@@ -256,6 +256,7 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
     # Skips the first two steps so compilation isn't in the window.
     profile_steps = int(run_cfg.get("profile_steps") or 0)
     profile_dir = os.path.join(run_cfg.output_dir, "log", "profile")
+    profiling = False
 
     for name, vt, arrays in device_batches():
         task = name.split("--")[0]
@@ -265,12 +266,13 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
                                             vision_transforms=vt)
         if profile_steps and global_step == start_step + 2:
             jax.profiler.start_trace(profile_dir)
+            profiling = True
         state, metrics = step_fns[key](state, arrays, rng)
         global_step += 1
-        if profile_steps and global_step == start_step + 2 + profile_steps:
+        if profiling and global_step == start_step + 2 + profile_steps:
             jax.tree.map(lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()
-            profile_steps = 0
+            profiling = False
             LOGGER.info("profiler trace written to %s", profile_dir)
 
         # fetch metrics to host only periodically: each float() is a
@@ -335,6 +337,13 @@ def train(model, opts, tokenizer, train_loader, val_loaders,
                        run_cfg.get("save_best", False))
         if global_step >= num_steps:
             break
+    if profiling:
+        # the run ended inside the profile window (loader exhausted or
+        # num_steps < warmup+profile_steps): serialize what was captured
+        # instead of silently dropping the trace
+        jax.profiler.stop_trace()
+        LOGGER.info("profiler trace (truncated window) written to %s",
+                    profile_dir)
     if timer.summary():
         LOGGER.info("step timing: %s", timer.summary())
     return state, metric_logger_dict
