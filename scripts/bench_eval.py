@@ -85,18 +85,20 @@ def main():
 
     def bench_rerank_grouped(g, t):
         """The shipping path: K/V once per candidate, texts folded onto
-        the shared K/V (rerank_scores / compute_slice_scores_grouped)."""
+        the shared K/V, candidate rows gathered on device from the
+        device-resident condition matrix (rerank_scores)."""
         from vast_tpu.evaluation.evaluation_mm import _grouped_scores
-        cond = jnp.asarray(rs.randn(g, COND_TOKENS, d), jnp.float32)
+        cond_all = jnp.asarray(rs.randn(2 * g, COND_TOKENS, d), jnp.float32)
+        cands = np.arange(g, dtype=np.int32)
         ids = jnp.asarray(rs.randint(1000, 20000, (g * t, 40)), jnp.int32)
         mask = jnp.ones((g * t, 40), jnp.int32)
         fn = jax.jit(functools.partial(_grouped_scores, model))
-        np.asarray(fn(params, cond, ids, mask))  # compile
+        np.asarray(fn(params, cond_all, cands, ids, mask))  # compile
         iters = 8
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
-            out = fn(params, cond, ids, mask)
+            out = fn(params, cond_all, cands, ids, mask)
         np.asarray(out)
         return g * t * iters / (time.perf_counter() - t0)
 

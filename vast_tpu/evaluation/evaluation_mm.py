@@ -302,31 +302,57 @@ def rerank_scores(model, params, cond_seqs, input_ids, attention_mask,
         g = -(-g // n) * n
     score_fn = jax.jit(functools.partial(_grouped_scores, model))
     out = np.zeros_like(itc_scores)
-    for s0 in range(0, len(segs), g):
-        batch = segs[s0:s0 + g]
-        cands = np.zeros(g, np.int64)
-        tmat = np.zeros((g, seg), np.int64)
-        valid = np.zeros((g, seg), bool)
-        for gi, (c, ts) in enumerate(batch):
-            cands[gi] = c
-            tmat[gi, : len(ts)] = ts
-            valid[gi, : len(ts)] = True
-        flat_t = tmat.reshape(-1)
-        db = _device_batch({"c": cond_seqs[cands],
-                            "i": input_ids[flat_t],
-                            "m": attention_mask[flat_t]}, mesh)
+
+    # the condition matrix is uploaded ONCE and stays device-resident;
+    # each segment call ships only KB-scale candidate indices and text
+    # tokens, and the jit gathers its (g, Lc, D) slice on device.
+    # Re-uploading per segment measured 67.7 real pairs/s over the
+    # relay (~28 MB x segments of H2D) vs 5498 for the compute alone.
+    with _mesh_ctx(mesh):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            cond_dev = jax.device_put(
+                cond_seqs, NamedSharding(mesh, PartitionSpec()))
+        else:
+            cond_dev = jnp.asarray(cond_seqs)
+
+    def seg_batches():
+        """One-deep device prefetch: segment N+1's token upload is
+        issued before segment N's scores are fetched back."""
+        prev = None
+        for s0 in range(0, len(segs), g):
+            batch = segs[s0:s0 + g]
+            cands = np.zeros(g, np.int32)
+            tmat = np.zeros((g, seg), np.int64)
+            valid = np.zeros((g, seg), bool)
+            for gi, (c, ts) in enumerate(batch):
+                cands[gi] = c
+                tmat[gi, : len(ts)] = ts
+                valid[gi, : len(ts)] = True
+            flat_t = tmat.reshape(-1)
+            db = _device_batch({"i": input_ids[flat_t],
+                                "m": attention_mask[flat_t]}, mesh)
+            item = (len(batch), cands, tmat, valid, db)
+            if prev is not None:
+                yield prev
+            prev = item
+        if prev is not None:
+            yield prev
+
+    for nb, cands, tmat, valid, db in seg_batches():
         with _mesh_ctx(mesh):
-            scores = np.asarray(score_fn(params, db["c"], db["i"],
-                                         db["m"])).reshape(g, seg)
-        for gi in range(len(batch)):
+            scores = np.asarray(score_fn(params, cond_dev, cands,
+                                         db["i"], db["m"])).reshape(g, seg)
+        for gi in range(nb):
             out[tmat[gi, valid[gi]], cands[gi]] = scores[gi, valid[gi]]
     # pods: merge the hosts' disjoint strides (identity on one host)
     return sum_across_hosts(out)
 
 
-def _grouped_scores(model, params, cond, ids, mask):
+def _grouped_scores(model, params, cond_all, cands, ids, mask):
+    """Gather the segment's candidate rows on device, then score."""
     return model.apply(
-        {"params": params}, cond, ids, mask,
+        {"params": params}, cond_all[cands], ids, mask,
         method=lambda m, c, i, a: m.compute_slice_scores_grouped(c, i, a))
 
 
