@@ -152,6 +152,7 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
 
     ids, ids_txt = [], []
     feats_t, tok_buf, mask_buf = [], [], []
+    multiproc = jax.process_count() > 1
     cond_feats = {st: [] for st in subtasks}
     cond_seqs = {st: [] for st in subtasks}
 
@@ -165,11 +166,15 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
             ft = text_fn(params, db["caption_tokens"],
                          db["caption_attention_mask"])
         # host_rows: on pods the jit outputs are GLOBAL batches spanning
-        # processes; keep only this host's rows (np.asarray would raise)
+        # processes; keep only this host's rows (np.asarray would raise).
+        # Single-host condition SEQUENCES never leave the device: the
+        # only consumer is the rerank, whose matrix is device-resident —
+        # fetching them would move ~Lc x 768 x n_cond (GBs) D2H and back
         for st in subtasks:
             cond_feats[st].append(host_rows(out[f"feat_cond_{st}"])[:nv])
+            cseq = out[f"condition_feats_{st}"]
             cond_seqs[st].append(
-                host_rows(out[f"condition_feats_{st}"])[:nv])
+                host_rows(cseq)[:nv] if multiproc else cseq[:nv])
         feats_t.append(host_rows(ft)[:nv])
         tok_buf.append(np.asarray(batch["caption_tokens"])[:nv])
         mask_buf.append(np.asarray(batch["caption_attention_mask"])[:nv])
@@ -205,7 +210,12 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
         # ITM rerank (per direction, matching refine_score_matrix's
         # direction arg — evaluation_mm.py:253-259: forward reranks the
         # top-k videos per text, backward the top-k texts per video)
-        cseq = gather_array(local(cond_seqs[st]))
+        if multiproc:
+            cseq = gather_array(local(cond_seqs[st]))
+        else:
+            with _mesh_ctx(mesh):
+                cseq = jnp.concatenate(cond_seqs[st])
+                cseq = cseq[: cseq.shape[0] - pt] if pt else cseq
         top_k = int(run_cfg.get("itm_rerank_num", 50))
         refined = rerank_scores(model, params, cseq, input_ids,
                                 attention_mask, score, top_k, "forward",
