@@ -66,6 +66,7 @@ def evaluate_mm(model, params, tokenizer, val_loaders: dict, run_cfg,
             elif head.startswith("qa"):
                 val_log.update(evaluate_qa(model, params, tokenizer,
                                            subtasks, loader, run_cfg,
+                                           global_step, dset_name,
                                            mesh=mesh))
         eval_log[key] = val_log
     return eval_log
@@ -479,7 +480,7 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
 # ------------------------------------------------------------------
 
 def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
-                mesh=None):
+                global_step=0, dset_name="", mesh=None):
     cfg = model.cfg
     gen_cfg = GenerationConfig(
         max_new_tokens=10, num_beams=cfg.beam_size, length_penalty=1.0,
@@ -528,8 +529,19 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
     # keep ONE ground-truth row per prediction — multi-answer rows stay
     # lists and exact_match_accuracy scores a hit on any element
     gt_answers = gather_list(gt_rows)
+    # dump predicted answers like the reference (evaluation_mm.py:54-95:
+    # predict_answers/step{N}_pred_{dset}_{task}.json, one writer)
+    out_dir = os.path.join(run_cfg.get("output_dir", "."),
+                           "predict_answers")
     for st in subtasks:
         preds[st] = gather_list(preds[st])
+        if jax.process_index() == 0:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(
+                    out_dir,
+                    f"step{global_step}_pred_{dset_name}_{st}.json"),
+                    "w") as f:
+                json.dump(preds[st], f)
         acc = exact_match_accuracy(preds[st], gt_answers)
         val_log[f"vqa_{st}"] = {"accuracy": round(acc * 100, 2)}
     return val_log
