@@ -104,3 +104,28 @@ def test_zero_shot_flag(synth):
     json.dump(cfg, open(p, "w"))
     run_main(["--config", p])  # must not train (returns after eval)
     assert not os.listdir(os.path.join(root, "output_zs", "ckpt"))
+
+
+@pytest.mark.slow
+def test_captioner_mode_gencap_files(synth):
+    """captioner_mode writes the reference's output contract: per-rank
+    {video_id: [generate_nums sampled captions]} gencap files and NO
+    metrics (evaluation_mm.py:111-154)."""
+    root, anno, annfile = synth
+    out3 = os.path.join(root, "output_captioner")
+    cfg_path = make_task_config(root, anno, annfile, task="cap%tva", steps=2)
+    cfg = json.load(open(cfg_path))
+    cfg["run_cfg"]["output_dir"] = out3
+    cfg["model_cfg"]["captioner_mode"] = True
+    cfg["model_cfg"]["generate_nums"] = 2
+    p = os.path.join(root, "task_captioner.json")
+    json.dump(cfg, open(p, "w"))
+    run_main(["--config", p, "--mode", "testing"])
+    rdir = os.path.join(out3, "results_test_synth")
+    files = [f for f in os.listdir(rdir) if f.startswith("gencap_rank0_")]
+    assert files, os.listdir(rdir)
+    merged = {}
+    for f in files:
+        merged.update(json.load(open(os.path.join(rdir, f))))
+    assert len(merged) == 16
+    assert all(len(v) == 2 for v in merged.values())

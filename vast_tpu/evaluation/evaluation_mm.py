@@ -423,7 +423,26 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
     cond_fn = jax.jit(functools.partial(_cond_features, model),
                       static_argnames=("subtasks", "vision_transforms"))
     vt = _loader_transforms(loader)
-    results = {st: [] for st in subtasks}
+    out_dir = os.path.join(run_cfg.get("output_dir", "."),
+                           f"results_test_{dset_name}")
+    os.makedirs(out_dir, exist_ok=True)
+    # captioner_mode matches the reference's output contract
+    # (evaluation_mm.py:111-154): per-RANK files of {video_id: [caps]},
+    # flushed every 20k videos to bound memory at VAST-27M scale, and no
+    # metrics; the standard mode records [{'video_id', 'caption'}].
+    results = {st: ({} if cfg.captioner_mode else []) for st in subtasks}
+    gen_idx = 0
+    rank = jax.process_index()
+
+    def flush_gencap(st):
+        nonlocal gen_idx
+        path = os.path.join(out_dir,
+                            f"gencap_rank{rank}_idx{gen_idx}_{st}.json")
+        with open(path, "w") as f:
+            json.dump(results[st], f)
+        gen_idx += 1
+        results[st] = {}
+
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
     multiproc = jax.process_count() > 1
     for batch, db, nv in _prefetched_device_batches(loader, mesh):
@@ -445,21 +464,28 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
                 toks = generate(model, params, cond, gen_cfg, rng=sub)
             caps = tokenizer.batch_decode(host_rows(toks))
             gn = cfg.generate_nums if cfg.captioner_mode else 1
-            # captioner_mode emits generate_nums samples per video, in
-            # row-major (video, sample) order — record every one
-            vids = [v for v in list(batch["ids"])[:nv] for _ in range(gn)]
-            for vid, cap in zip(vids, caps[: nv * gn]):
-                results[st].append({"video_id": vid, "caption": cap})
+            vids = list(batch["ids"])[:nv]
+            if cfg.captioner_mode:
+                # generate_nums samples per video, row-major
+                for i, vid in enumerate(vids):
+                    results[st][vid] = caps[i * gn: (i + 1) * gn]
+                if len(results[st]) > 20000:
+                    flush_gencap(st)
+            else:
+                for vid, cap in zip(vids, caps[:nv]):
+                    results[st].append({"video_id": vid, "caption": cap})
+
+    if cfg.captioner_mode:
+        for st in subtasks:
+            if results[st]:
+                flush_gencap(st)
+        return {}
 
     pt = getattr(loader, "padded_tail", 0)
     if pt:  # cross-host alignment duplicates (loader.py _indices)
-        gn = cfg.generate_nums if cfg.captioner_mode else 1
         for st in subtasks:
-            results[st] = results[st][: len(results[st]) - pt * gn]
+            results[st] = results[st][: len(results[st]) - pt]
     val_log = {}
-    out_dir = os.path.join(run_cfg.get("output_dir", "."),
-                           f"results_test_{dset_name}")
-    os.makedirs(out_dir, exist_ok=True)
     for st in subtasks:
         results[st] = gather_list(results[st])
         annfile = getattr(loader.dataset, "annfile", None)
