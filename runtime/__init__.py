@@ -115,8 +115,8 @@ def _try_load(lib_path: str):
         _note(f"dlopen({lib_path}) failed: {e}")
         return None
     lib.vrt_version.restype = ctypes.c_int
-    if lib.vrt_version() != 2:
-        _note(f"{lib_path}: ABI version {lib.vrt_version()} != 2")
+    if lib.vrt_version() != 3:
+        _note(f"{lib_path}: ABI version {lib.vrt_version()} != 3")
         return None
     lib.vrt_media_available.restype = ctypes.c_int
     return lib
@@ -195,6 +195,16 @@ def _load():
     lib.vrt_decode_video_batch.argtypes = [
         c_paths, ctypes.c_int, c_int_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), c_int_p, ctypes.c_int]
+    c_bytes = ctypes.POINTER(ctypes.c_char_p)  # per-item buffer pointers
+    c_int64_p = ctypes.POINTER(ctypes.c_int64)
+    lib.vrt_video_info_bytes_batch.restype = ctypes.c_int
+    lib.vrt_video_info_bytes_batch.argtypes = [
+        c_bytes, c_int64_p, ctypes.c_int, c_int64_p,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    lib.vrt_decode_video_bytes_batch.restype = ctypes.c_int
+    lib.vrt_decode_video_bytes_batch.argtypes = [
+        c_bytes, c_int64_p, ctypes.c_int, c_int_p, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), c_int_p, ctypes.c_int]
     lib.vrt_load_audio_batch.restype = ctypes.c_int
     lib.vrt_load_audio_batch.argtypes = [
         c_paths, ctypes.c_int, ctypes.c_int,
@@ -300,6 +310,57 @@ def decode_video_batch(paths: list[str], indices: np.ndarray, target: int,
     ok = np.zeros(n, np.int32)
     lib.vrt_decode_video_batch(
         _paths_array(paths), n,
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k, target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+    return out, ok.astype(bool)
+
+
+def _bytes_arrays(blobs: list[bytes]):
+    """(pointer array, size array) over the callers' bytes objects.
+
+    ctypes keeps each c_char_p pointing into the bytes object's buffer;
+    embedded NULs are fine because explicit sizes travel alongside. The
+    caller must keep ``blobs`` alive across the native call (we do — the
+    arrays are built and consumed within one function)."""
+    arr = (ctypes.c_char_p * len(blobs))()
+    arr[:] = blobs
+    sizes = np.asarray([len(b) for b in blobs], np.int64)
+    return arr, sizes
+
+
+def video_info_bytes_batch(blobs: list[bytes], n_threads: int = 8):
+    """In-memory video containers -> (num_frames int64, fps float64);
+    -1 frames = undecodable. Webdataset tar members (IndexSrc.py:104-108)."""
+    lib = _load()
+    n = len(blobs)
+    arr, sizes = _bytes_arrays(blobs)
+    frames = np.zeros(n, np.int64)
+    fps = np.zeros(n, np.float64)
+    lib.vrt_video_info_bytes_batch(
+        arr, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        fps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_threads)
+    return frames, fps
+
+
+def decode_video_bytes_batch(blobs: list[bytes], indices: np.ndarray,
+                             target: int, n_threads: int = 8):
+    """Fetch frames ``indices[i]`` (shape (n, k)) from in-memory videos.
+
+    Returns ((n, k, target, target, 3) uint8, ok flags) — the bytes
+    counterpart of decode_video_batch, for tar-member mp4s with no
+    tmpfs spooling."""
+    lib = _load()
+    n = len(blobs)
+    indices = np.ascontiguousarray(indices, np.int32)
+    assert indices.shape[0] == n
+    k = indices.shape[1]
+    arr, sizes = _bytes_arrays(blobs)
+    out = np.zeros((n, k, target, target, 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    lib.vrt_decode_video_bytes_batch(
+        arr, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k, target,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)

@@ -18,6 +18,8 @@
 //   vrt_media_available    : 1 when built with libav
 //   vrt_video_info_batch   : per-file (num_frames, fps)
 //   vrt_decode_video_batch : selected frame indices -> uint8 RGB squares
+//   vrt_video_info_bytes_batch / vrt_decode_video_bytes_batch :
+//     same contracts from in-memory container bytes (webdataset tar members)
 //   vrt_load_audio_batch   : any container/codec -> 16 kHz mono float32
 //   vrt_encode_video       : deterministic mp4/avi/webm fixture writer
 //   vrt_encode_audio_tone  : deterministic mp3/wav tone writer
@@ -50,6 +52,46 @@ struct LogSilencer {
 LogSilencer g_log_silencer;
 
 // ---------------------------------------------------------------------
+// in-memory AVIO (tar-member bytes -> seekable demuxer input)
+// ---------------------------------------------------------------------
+
+// Webdataset shards hand us whole mp4 members as bytes; a custom seekable
+// AVIOContext demuxes them with zero copies and no tmpfs spooling
+// (reference decodes tar members via decord.VideoReader(io.BytesIO(..)),
+// data/IndexSrc.py:104-108).
+struct MemBuf {
+  const uint8_t* data;
+  int64_t size;
+  int64_t pos;
+};
+
+int mem_read(void* opaque, uint8_t* buf, int buf_size) {
+  MemBuf* m = static_cast<MemBuf*>(opaque);
+  const int64_t left = m->size - m->pos;
+  if (left <= 0) return AVERROR_EOF;
+  const int n = static_cast<int>(
+      std::min<int64_t>(buf_size, left));
+  std::memcpy(buf, m->data + m->pos, n);
+  m->pos += n;
+  return n;
+}
+
+int64_t mem_seek(void* opaque, int64_t offset, int whence) {
+  MemBuf* m = static_cast<MemBuf*>(opaque);
+  int64_t target;
+  switch (whence & ~AVSEEK_FORCE) {
+    case SEEK_SET: target = offset; break;
+    case SEEK_CUR: target = m->pos + offset; break;
+    case SEEK_END: target = m->size + offset; break;
+    case AVSEEK_SIZE: return m->size;
+    default: return -1;
+  }
+  if (target < 0 || target > m->size) return -1;
+  m->pos = target;
+  return target;
+}
+
+// ---------------------------------------------------------------------
 // demux/decode context
 // ---------------------------------------------------------------------
 
@@ -57,15 +99,46 @@ struct Media {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
   AVStream* st = nullptr;
+  AVIOContext* avio = nullptr;  // owned when opened from bytes
+  MemBuf mem{};
   int si = -1;
 
   ~Media() {
     if (dec) avcodec_free_context(&dec);
     if (fmt) avformat_close_input(&fmt);
+    if (avio) {  // custom IO stays ours to free after close_input
+      av_freep(&avio->buffer);
+      avio_context_free(&avio);
+    }
   }
 
   bool open(const char* path, AVMediaType type) {
     if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return false;
+    return select_stream(type);
+  }
+
+  bool open_bytes(const uint8_t* data, int64_t size, AVMediaType type) {
+    mem = {data, size, 0};
+    constexpr int kIoBuf = 1 << 16;
+    uint8_t* iobuf = static_cast<uint8_t*>(av_malloc(kIoBuf));
+    if (!iobuf) return false;
+    avio = avio_alloc_context(iobuf, kIoBuf, 0, &mem, mem_read, nullptr,
+                              mem_seek);
+    if (!avio) {
+      av_free(iobuf);
+      return false;
+    }
+    fmt = avformat_alloc_context();
+    if (!fmt) return false;
+    fmt->pb = avio;
+    fmt->flags |= AVFMT_FLAG_CUSTOM_IO;
+    // open_input frees fmt on failure (leaving avio for the destructor)
+    if (avformat_open_input(&fmt, nullptr, nullptr, nullptr) < 0)
+      return false;
+    return select_stream(type);
+  }
+
+  bool select_stream(AVMediaType type) {
     if (avformat_find_stream_info(fmt, nullptr) < 0) return false;
     si = av_find_best_stream(fmt, type, -1, -1, nullptr, 0);
     if (si < 0) return false;
@@ -122,9 +195,8 @@ struct Media {
   }
 };
 
-int64_t count_video_frames(const char* path) {
-  Media m;
-  if (!m.open(path, AVMEDIA_TYPE_VIDEO)) return -1;
+// Frame count of a freshly-opened Media (consumes its demux position).
+int64_t count_video_frames_open(Media& m) {
   if (m.st->nb_frames > 0) return m.st->nb_frames;
   // metadata-free containers (webm): one demux pass, no decode
   AVPacket* pkt = av_packet_alloc();
@@ -169,12 +241,11 @@ bool frame_to_square(const AVFrame* frame, int target, uint8_t* out) {
   return true;
 }
 
-// Fetch the frames at `idx[0..k)` (any order, duplicates fine) from one
-// video. Sequential decode with keyframe seeks for large forward gaps.
-bool fetch_video_frames(const char* path, const int* idx, int k, int target,
-                        uint8_t* out) {
-  Media m;
-  if (!m.open(path, AVMEDIA_TYPE_VIDEO)) return false;
+// Fetch the frames at `idx[0..k)` (any order, duplicates fine) from an
+// already-open video (path or in-memory bytes). Sequential decode with
+// keyframe seeks for large forward gaps.
+bool fetch_video_frames_open(Media& m, const int* idx, int k, int target,
+                             uint8_t* out) {
   const double fps_val = m.fps();
 
   std::vector<std::pair<int, int>> order(k);  // (frame index, out slot)
@@ -262,6 +333,13 @@ bool fetch_video_frames(const char* path, const int* idx, int k, int target,
   av_packet_free(&pkt);
   av_frame_free(&frame);
   return ok;
+}
+
+bool fetch_video_frames(const char* path, const int* idx, int k, int target,
+                        uint8_t* out) {
+  Media m;
+  if (!m.open(path, AVMEDIA_TYPE_VIDEO)) return false;
+  return fetch_video_frames_open(m, idx, k, target, out);
 }
 
 // ---------------------------------------------------------------------
@@ -509,7 +587,28 @@ int vrt_video_info_batch(const char** paths, int n, int64_t* num_frames,
     Media m;
     if (m.open(paths[i], AVMEDIA_TYPE_VIDEO)) {
       fps[i] = m.fps();
-      num_frames[i] = count_video_frames(paths[i]);
+      num_frames[i] = count_video_frames_open(m);
+    } else {
+      fps[i] = 0.0;
+      num_frames[i] = -1;
+    }
+    if (num_frames[i] > 0) n_ok.fetch_add(1);
+  });
+  return n_ok.load();
+}
+
+// In-memory variant for webdataset tar members (IndexSrc.py:104-108 decodes
+// mp4 bytes via decord.VideoReader(io.BytesIO)). datas[i]/sizes[i] = whole
+// container bytes of item i.
+int vrt_video_info_bytes_batch(const uint8_t** datas, const int64_t* sizes,
+                               int n, int64_t* num_frames, double* fps,
+                               int n_threads) {
+  std::atomic<int> n_ok(0);
+  vrt::parallel_for(n, n_threads, [&](int i) {
+    Media m;
+    if (m.open_bytes(datas[i], sizes[i], AVMEDIA_TYPE_VIDEO)) {
+      fps[i] = m.fps();
+      num_frames[i] = count_video_frames_open(m);
     } else {
       fps[i] = 0.0;
       num_frames[i] = -1;
@@ -529,6 +628,26 @@ int vrt_decode_video_batch(const char** paths, int n, const int* indices,
   vrt::parallel_for(n, n_threads, [&](int i) {
     const bool good = fetch_video_frames(paths[i], indices + (size_t)i * k,
                                          k, target, out + stride * i);
+    if (!good) std::memset(out + stride * i, 0, stride);
+    if (ok) ok[i] = good ? 1 : 0;
+    if (good) n_ok.fetch_add(1);
+  });
+  return n_ok.load();
+}
+
+// Same frame-fetch contract as vrt_decode_video_batch but from in-memory
+// container bytes (tar members) — no tmpfs spooling.
+int vrt_decode_video_bytes_batch(const uint8_t** datas, const int64_t* sizes,
+                                 int n, const int* indices, int k, int target,
+                                 uint8_t* out, int* ok, int n_threads) {
+  const size_t stride = static_cast<size_t>(k) * target * target * 3;
+  std::atomic<int> n_ok(0);
+  vrt::parallel_for(n, n_threads, [&](int i) {
+    Media m;
+    const bool good =
+        m.open_bytes(datas[i], sizes[i], AVMEDIA_TYPE_VIDEO) &&
+        fetch_video_frames_open(m, indices + (size_t)i * k, k, target,
+                                out + stride * i);
     if (!good) std::memset(out + stride * i, 0, stride);
     if (ok) ok[i] = good ? 1 : 0;
     if (good) n_ok.fetch_add(1);

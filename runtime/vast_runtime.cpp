@@ -39,7 +39,7 @@ using vrt::parallel_for;
 
 // ABI v2 adds the media surface (vast_media.cpp): video info/decode,
 // any-container audio decode, fixture encoders.
-constexpr int kAbiVersion = 2;
+constexpr int kAbiVersion = 3;
 
 // ---------------------------------------------------------------------
 // JPEG decode

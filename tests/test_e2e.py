@@ -129,3 +129,36 @@ def test_captioner_mode_gencap_files(synth):
         merged.update(json.load(open(os.path.join(rdir, f))))
     assert len(merged) == 16
     assert all(len(v) == 2 for v in merged.values())
+
+
+@pytest.mark.slow
+def test_pretrain_step_from_video_tar(tmp_path):
+    """Pretrain-style e2e: a srcindexed VIDEO tar (mp4 members + in-tar
+    captions, the reference's webvid/laion streaming layout, IndexSrc.py
+    :163-175) trains ret%tv for 2 steps end-to-end through run.py."""
+    import runtime
+
+    if not runtime.media_available():
+        pytest.skip("native media runtime unavailable")
+    from tests.test_src_dataset import make_video_shard
+
+    root = str(tmp_path)
+    shard_dir = os.path.join(root, "shards")
+    os.makedirs(shard_dir)
+    make_video_shard(os.path.join(shard_dir, "v0.tar"), 8, 0, n_frames=24)
+    # eval set: tiny annoindexed image dataset (mixed-pipeline pretrain)
+    anno, annfile = make_synth_dataset(root, n=8, with_audio=False)
+    cfg_path = make_task_config(root, anno, annfile, task="ret%tv",
+                                steps=2, with_audio=False)
+    cfg = json.load(open(cfg_path))
+    cfg["data_cfg"]["train"] = [{
+        "type": "srcindexed", "training": True, "name": "webvid_tar",
+        "vision": shard_dir, "vision_format": "video_rawvideo",
+        "vision_sample_num": 2, "task": "ret%tv", "batch_size": 4,
+        "steps": 2, "shuffle_buffer": 4,
+    }]
+    p = os.path.join(root, "task_vtar.json")
+    json.dump(cfg, open(p, "w"))
+    run_main(["--config", p])
+    ckpts = os.listdir(os.path.join(root, "output", "ckpt"))
+    assert any(c.startswith("model_step_") for c in ckpts), ckpts

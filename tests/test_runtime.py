@@ -130,3 +130,28 @@ def test_media_unavailable_reason_api():
         assert isinstance(reason, str) and reason
     # diagnostics never raises and always returns a string
     assert isinstance(runtime.load_diagnostics(), str)
+
+
+def test_video_bytes_decode_matches_path_decode(tmp_path):
+    """In-memory AVIO decode (tar-member path) is bit-identical to the
+    file-path decode, and garbage bytes report -1 frames / ok=False."""
+    import runtime
+
+    if not runtime.media_available():
+        import pytest
+        pytest.skip("native media runtime unavailable")
+    p = str(tmp_path / "clip.mp4")
+    assert runtime.encode_video(p, w=64, h=48, n_frames=30, fps=15.0)
+    blob = open(p, "rb").read()
+    frames_b, fps_b = runtime.video_info_bytes_batch([blob, b"not a video"])
+    frames_p, fps_p = runtime.video_info_batch([p])
+    assert frames_b[0] == frames_p[0] == 30
+    assert abs(fps_b[0] - fps_p[0]) < 1e-6
+    assert frames_b[1] == -1 and fps_b[1] == 0.0
+    idx = np.asarray([[0, 7, 29]], np.int32)
+    out_b, ok_b = runtime.decode_video_bytes_batch([blob], idx, 48)
+    out_p, ok_p = runtime.decode_video_batch([p], idx, 48)
+    assert ok_b[0] and ok_p[0]
+    np.testing.assert_array_equal(out_b, out_p)
+    out_g, ok_g = runtime.decode_video_bytes_batch([b"junk"], idx, 48)
+    assert not ok_g[0] and not out_g.any()

@@ -90,6 +90,80 @@ def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
     return img[top:top + target, left:left + target]
 
 
+def _ffmpeg_decode_all(path: str, host_size: int):
+    """Last-resort decode: pipe every frame as rawvideo RGB24 through the
+    ffmpeg CLI. Square-scales the short side to host_size with centered
+    crop (matching the native path). Returns ((n, s, s, 3) uint8, fps)."""
+    s = host_size
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0",
+         "-show_entries", "stream=width,height,r_frame_rate",
+         "-of", "csv=p=0", path],
+        capture_output=True, text=True, check=True)
+    fields = probe.stdout.strip().split(",")
+    w, h = int(fields[0]), int(fields[1])
+    fps = 25.0
+    if len(fields) > 2 and "/" in fields[2]:
+        num, den = fields[2].split("/")
+        # ffprobe reports '0/1' for some containers/attached pics —
+        # num must be positive too or _sample_count would divide by
+        # ~0 and request ~1e8 sample indices
+        if float(den) > 0 and float(num) > 0:
+            fps = float(num) / float(den)
+    scale = s / min(w, h)
+    nw, nh = max(s, round(w * scale)), max(s, round(h * scale))
+    out = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", path, "-f", "rawvideo",
+         "-pix_fmt", "rgb24", "-vf",
+         f"scale={nw}:{nh},crop={s}:{s}", "pipe:1"],
+        capture_output=True, check=True).stdout
+    frames = np.frombuffer(out, np.uint8)
+    n = len(frames) // (s * s * 3)
+    return frames[: n * s * s * 3].reshape(n, s, s, 3), fps
+
+
+def decode_video_bytes(raw: bytes, sample_num: int, training: bool,
+                       host_size: int,
+                       rng: random.Random | None = None) -> np.ndarray:
+    """In-memory video container -> (sample_num, s, s, 3) uint8 frames.
+
+    Split-segment frame sampling over the full stream, as the reference
+    does for tar-member mp4s (IndexSrc.py:104-110: decord.VideoReader(
+    io.BytesIO(src)) + split + random-in-segment). Decode priority:
+    native FFmpeg runtime (zero-copy in-memory AVIO) -> decord on a
+    BytesIO -> ffmpeg CLI via a spooled temp file. Raises on failure
+    (callers apply warn-and-continue)."""
+    nat = _native_runtime()
+    if nat is not None and nat.media_available():
+        counts, _fps = nat.video_info_bytes_batch([raw])
+        if counts[0] > 0:
+            idx = sample_indices(int(counts[0]), sample_num, training, rng)
+            frames, ok = nat.decode_video_bytes_batch(
+                [raw], np.asarray([idx], np.int32), host_size, n_threads=1)
+            if ok[0]:
+                return frames[0]
+        raise RuntimeError("native in-memory video decode failed")
+    try:
+        import decord  # optional
+        import io
+        vr = decord.VideoReader(io.BytesIO(raw))
+        idx = sample_indices(len(vr), sample_num, training, rng)
+        frames = vr.get_batch(idx).asnumpy()
+        return np.stack([_resize_short_side(f, host_size) for f in frames])
+    except ImportError:
+        pass
+    if shutil.which("ffmpeg"):
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as tf:
+            tf.write(raw)
+            tf.flush()
+            frames, _fps = _ffmpeg_decode_all(tf.name, host_size)
+        idx = sample_indices(frames.shape[0], sample_num, training, rng)
+        return frames[idx]
+    raise RuntimeError(
+        "video decode needs the native media runtime, decord, or ffmpeg")
+
+
 class VisionMapper:
     def __init__(self, d_cfg, args):
         self.vision = d_cfg["vision"]
@@ -201,35 +275,8 @@ class VisionMapper:
             "video decode needs the native media runtime, decord, or ffmpeg")
 
     def _ffmpeg_pipe_read(self, path: str) -> np.ndarray:
-        """Last-resort decode: pipe every frame as rawvideo RGB24 through
-        the ffmpeg CLI, then sample. Square-scales the short side to
-        host_size with centered crop (matching the native path)."""
-        s = self.host_size
-        probe = subprocess.run(
-            ["ffprobe", "-v", "error", "-select_streams", "v:0",
-             "-show_entries", "stream=width,height,r_frame_rate",
-             "-of", "csv=p=0", path],
-            capture_output=True, text=True, check=True)
-        fields = probe.stdout.strip().split(",")
-        w, h = int(fields[0]), int(fields[1])
-        fps = 25.0
-        if len(fields) > 2 and "/" in fields[2]:
-            num, den = fields[2].split("/")
-            # ffprobe reports '0/1' for some containers/attached pics —
-            # num must be positive too or _sample_count would divide by
-            # ~0 and request ~1e8 sample indices
-            if float(den) > 0 and float(num) > 0:
-                fps = float(num) / float(den)
-        scale = s / min(w, h)
-        nw, nh = max(s, round(w * scale)), max(s, round(h * scale))
-        out = subprocess.run(
-            ["ffmpeg", "-v", "error", "-i", path, "-f", "rawvideo",
-             "-pix_fmt", "rgb24", "-vf",
-             f"scale={nw}:{nh},crop={s}:{s}", "pipe:1"],
-            capture_output=True, check=True).stdout
-        frames = np.frombuffer(out, np.uint8)
-        n = len(frames) // (s * s * 3)
-        frames = frames[: n * s * s * 3].reshape(n, s, s, 3)
+        frames, fps = _ffmpeg_decode_all(path, self.host_size)
+        n = frames.shape[0]
         idx = sample_indices(n, self._sample_count(n, fps), self.training)
         return frames[idx]
 
