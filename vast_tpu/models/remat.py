@@ -42,6 +42,37 @@ def remat_policy(name: str):
         )
     if name == "attn":
         return jax.checkpoint_policies.save_only_these_names(ATTN_NAME)
+    if name == "attn_offload":
+        # like 'attn' but the saved attention outputs live in pinned host
+        # memory instead of HBM: frees ~68 MB/EVA-block of residuals so
+        # larger batches fit, at the cost of d2h/h2d DMA per block
+        return jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=[ATTN_NAME],
+            offload_src="device", offload_dst="pinned_host")
+    if name == "dots_offload":
+        # the 'dots' memory footprint (every no-batch-dim matmul output +
+        # attention outputs) offloaded to host — the maximum-recompute-
+        # avoidance policy that cannot OOM HBM; bandwidth-bound by DMA
+        # instead. save_from_both_policies can't combine Offloadable-
+        # returning policies (they return enums, not booleans), so this
+        # is written directly.
+        dots = jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+            "device", "pinned_host")
+        attn = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=[ATTN_NAME],
+            offload_src="device", offload_dst="pinned_host")
+
+        def policy(prim, *args, **kw):
+            a = dots(prim, *args, **kw)
+            # non-matches return the Recompute sentinel; the two sub-
+            # policies match disjoint primitives (dot_general vs name_p)
+            if type(a).__name__ == "Offloadable":
+                return a
+            return attn(prim, *args, **kw)
+
+        return policy
     raise ValueError(f"unknown remat policy {name!r}")
 
 
