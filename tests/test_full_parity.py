@@ -264,12 +264,29 @@ def test_ret_eval_features_parity(assembled):
     frame/type embeddings, and concat order in one shot."""
     a = assembled
     with torch.no_grad():
-        want = a.ref.forward(dict(_ref_batch(a)), "ret%tva%tvas",
+        want = a.ref.forward(dict(_ref_batch(a)), "ret%tv%tva%tvas",
                              compute_loss=False)
-    got = a.ours.apply({"params": a.params}, _our_batch(a), "ret%tva%tvas",
+    got = a.ours.apply({"params": a.params}, _our_batch(a), "ret%tv%tva%tvas",
                        compute_loss=False)
-    for key in ("feat_t", "feat_cond_tva", "feat_cond_tvas",
+    for key in ("feat_t", "feat_cond_tv", "feat_cond_tva", "feat_cond_tvas",
+                "condition_feats_tv",
                 "condition_feats_tva", "condition_feats_tvas"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(),
+            atol=2e-4, rtol=1e-4, err_msg=key)
+
+
+def test_ret_eval_features_parity_tvs(assembled):
+    """Subtitle-bearing group WITHOUT audio (tvs): vision+subtitle concat
+    order and the subtitle projection path, no audio branch in the
+    condition stream (model/vast.py:264-318 group assembly)."""
+    a = assembled
+    with torch.no_grad():
+        want = a.ref.forward(dict(_ref_batch(a)), "ret%tvs",
+                             compute_loss=False)
+    got = a.ours.apply({"params": a.params}, _our_batch(a), "ret%tvs",
+                       compute_loss=False)
+    for key in ("feat_t", "feat_cond_tvs", "condition_feats_tvs"):
         np.testing.assert_allclose(
             np.asarray(got[key]), want[key].numpy(),
             atol=2e-4, rtol=1e-4, err_msg=key)
@@ -484,6 +501,137 @@ def _ref_beam_search(mm, cond, num_beams, max_new, length_penalty):
         if len(best) < max_len:
             decoded[bi, len(best)] = EOS
     return decoded
+
+
+@pytest.fixture(scope="module")
+def assembled_ast(assembled):
+    """Second assembly: audio_encoder_type='ast' (round-3 verdict #8).
+
+    Depends on ``assembled`` so the sys.modules stubs / torch patches are
+    installed; builds a fresh reference VAST whose audio branch is the
+    REAL ast.py AudioEmbeddings + TransformerEncoder (general_module.py
+    :257-273 construct path, :405-412 permuted forward, :442-447 CLS-pool)
+    and converts its state dict through convert_vast_checkpoint's ast
+    branch."""
+    _stub_module("ipdb")
+    ref_ast = _load_ref("refast", f"{REF}/model/audio_encoders/ast", "ast")
+    refvast = sys.modules["refmodel.vast"]
+    ref_eva = sys.modules["refevaclip.eva_vit_model"]
+    ref_bert = sys.modules["refbert.bert"]
+    edict = assembled.edict
+
+    # reference AudioEmbeddings hardcodes patch 16 (ast.py:179); melbins 16
+    # x target 64 -> 4 patch tokens + CLS
+    acfg = edict(dict(
+        attention_dropout=0.0, hidden_act="gelu", hidden_dropout=0.0,
+        hidden_size=32, initializer_range=0.02, intermediate_size=64,
+        num_attention_heads=4, num_hidden_layers=2, checkpointing=False,
+        audio_melbins=16, audio_target_length=64))
+
+    class _VisWrap(torch.nn.Module):
+        def __init__(self, visual):
+            super().__init__()
+            self.visual = visual
+
+    class TinyRefVASTAst(refvast.VAST):
+        def construct_vision_encoder(self):
+            self.vision_encoder = _VisWrap(
+                _eva_ref_model(ref_eva, TINY_EVA, seed=31))
+            self.vision_dim = TINY_EVA.width
+
+        def construct_audio_encoder(self):
+            torch.manual_seed(32)
+            self.audio_embeddings = ref_ast.AudioEmbeddings(acfg)
+            self.audio_encoder = ref_ast.TransformerEncoder(
+                acfg, mode="prenorm")
+            self.audio_dim = acfg.hidden_size
+
+        def construct_multimodal_encoder(self):
+            hf = ref_bert.BertConfig(
+                vocab_size=170, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=64,
+                max_position_embeddings=96, is_decoder=True,
+                add_cross_attention=True, hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0)
+            torch.manual_seed(33)
+            self.multimodal_encoder = ref_bert.BertForMaskedLM(hf)
+            self.multimodal_encoder.tie_weights()
+            self.multimodal_dim = 32
+            self.multimodal_encoder.tokenizer = _StubTok()
+            self.text_masker = refvast.TokenMasker(
+                mask_token=MASK, range_start=106, range_end=170)
+
+    rcfg = edict(dict(
+        vision_encoder_type="evaclip01_giant", audio_encoder_type="ast",
+        contra_dim=16, max_vision_sample_num=NF, max_audio_sample_num=1,
+        checkpointing=False, frozen_vision=False, frozen_audio=False,
+        beam_size=3, itm_ratio=0.1, max_omni_caption_len=14,
+        max_caption_len=TL, max_subtitle_len=TL,
+        frame_embedding_type="adaptive", captioner_mode=False,
+        vision_resolution=32))
+    torch.manual_seed(30)
+    ref = TinyRefVASTAst(rcfg).eval()
+
+    from vast_tpu.models.ast import AstConfig
+
+    cfg = tiny_vast_config(
+        max_vision_sample_num=NF, audio_encoder_type="ast",
+        audio_cfg=AstConfig(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=64,
+                            audio_melbins=16, audio_target_length=64,
+                            patch_size=16))
+    ours = VASTModel(cfg)
+    params = convert_vast_checkpoint(
+        to_numpy_state_dict(ref.state_dict()), cfg)
+    return types.SimpleNamespace(ref=ref, ours=ours, params=params,
+                                 cfg=cfg, edict=assembled.edict,
+                                 data=assembled.data)
+
+
+def test_ast_ret_eval_features_parity(assembled_ast):
+    """AST assembly: the permuted (mel, frames) patching, CLS-token audio
+    pooling (general_module.py:442-447 vs beats' token mean), and the
+    audio projection path, through ta AND tva groups."""
+    a = assembled_ast
+    with torch.no_grad():
+        want = a.ref.forward(dict(_ref_batch(a)), "ret%ta%tva",
+                             compute_loss=False)
+    got = a.ours.apply({"params": a.params}, _our_batch(a), "ret%ta%tva",
+                       compute_loss=False)
+    for key in ("feat_t", "feat_cond_ta", "feat_cond_tva",
+                "condition_feats_ta", "condition_feats_tva"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(),
+            atol=2e-4, rtol=1e-4, err_msg=key)
+
+
+def test_ast_ret_train_loss_parity(assembled_ast):
+    """ITC+ITM losses through the AST audio branch, negatives pinned."""
+    a = assembled_ast
+    rs = np.random.RandomState(5)
+    neg_cond = rs.randint(0, B, (1, B))
+    neg_text = rs.randint(0, B, (1, B))
+    seq = neg_cond[0].tolist() + neg_text[0].tolist()
+    it = iter(seq)
+    orig = torch.multinomial
+    torch.multinomial = lambda w, n, **k: torch.tensor([next(it)])
+    try:
+        with torch.no_grad():
+            want = a.ref.forward(dict(_ref_batch(a)), "ret%ta",
+                                 compute_loss=True)
+    finally:
+        torch.multinomial = orig
+
+    got = a.ours.apply(
+        {"params": a.params},
+        _our_batch(a,
+                   itm_neg_cond_idx=jnp.asarray(neg_cond),
+                   itm_neg_text_idx=jnp.asarray(neg_text)),
+        "ret%ta", compute_loss=True)
+    np.testing.assert_allclose(float(got["loss_itc"]),
+                               float(want["loss_itc"]), rtol=2e-4)
+    np.testing.assert_allclose(float(got["loss_itm"]),
+                               float(want["loss_itm"]), rtol=2e-4)
 
 
 def test_cap_beam_generation_parity(assembled):

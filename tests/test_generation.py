@@ -143,6 +143,52 @@ def test_sampling_is_deterministic_given_rng():
     assert not np.array_equal(a, c)
 
 
+@pytest.mark.slow
+def test_topk_sampling_distribution_matches_softmax():
+    """Captioner-mode sampling (do_sample=True, top_k — the reference's
+    msrvtt_captioner path, model/vast.py:529-534 num_return_sequences
+    sampling): the FIRST sampled token must (a) always lie in the top-k
+    set of the first-step logits and (b) follow softmax(top-k logits)
+    empirically. One cond row is replicated so every batch row draws from
+    the SAME distribution: 64 rows x 16 rngs = 1024 draws."""
+    model, params, cond = setup_model()
+    b = 64
+    cond1 = jnp.broadcast_to(cond[:1], (b,) + cond.shape[1:])
+
+    # expected first-step distribution via the naive full-prefix path:
+    # logits at the MASK slot after [BOS] (the same oracle
+    # naive_reference_decode uses)
+    ids = np.asarray([[101, 103]], np.int64)
+    mask3 = np.tril(np.ones((1, 2, 2), np.int64))
+    logits = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask3),
+        encoder_hidden_states=jnp.asarray(cond[:1]),
+        method=lambda m, *a, **k: m.multimodal_encoder(*a, **k))[0, -1],
+        np.float64)
+    k = 10
+    top_idx = np.argsort(-logits)[:k]
+    z = np.exp(logits[top_idx] - logits[top_idx].max())
+    probs = z / z.sum()
+
+    gcfg = GenerationConfig(max_new_tokens=2, num_beams=1, do_sample=True,
+                            top_k=k)
+    draws = []
+    for seed in range(16):
+        out = np.asarray(generate(model, params, cond1, gcfg,
+                                  rng=jax.random.PRNGKey(seed)))
+        draws.extend(out[:, 0].tolist())
+    draws = np.asarray(draws)
+    n = draws.size
+    assert np.isin(draws, top_idx).all(), \
+        f"sampled outside top-{k}: {set(draws) - set(top_idx.tolist())}"
+    emp = np.asarray([(draws == t).mean() for t in top_idx])
+    # binomial 6-sigma band per token (n=1024 -> sigma <= ~0.016)
+    sigma = np.sqrt(probs * (1 - probs) / n)
+    np.testing.assert_array_less(np.abs(emp - probs),
+                                 6 * sigma + 1e-3,
+                                 err_msg=f"emp={emp} probs={probs}")
+
+
 def hf_beam_oracle(model, params, cond, gcfg, steps):
     """Naive python re-implementation of HF beam search (BeamSearchScorer +
     BeamHypotheses, early_stopping=False) over full-prefix recompute —
