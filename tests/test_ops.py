@@ -380,6 +380,8 @@ def test_token_sliced_self_attention_grads_match_reference():
         np.asarray(g_ts).reshape(b, lp, h, 3, dp)[:, l_true:], 0.0)
 
 
+@pytest.mark.slow  # 36 s of compile; the op-level biased-kernel parity
+# (test_grouped_biased_token_sliced_matches_reference) stays in the tier
 def test_beats_token_sliced_matches_hmajor_path():
     """BEATs attention through the token-sliced kernel with the gated
     rel-pos bias (fwd + param grads) must match the head-major fallback.

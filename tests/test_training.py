@@ -56,11 +56,14 @@ def test_loss_decreases_over_steps():
     assert losses[-1] < losses[0], losses
 
 
-@pytest.mark.parametrize("policy", ["full", "dots", "attn"])
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "policy", ["full", "dots", "attn", "attn_offload", "dots_offload"])
 def test_remat_policy_grads_match_no_remat(policy):
     """Remat must be a memory/compute trade only: gradients under every
     policy equal the no-remat gradients. 'attn' is the flagship default
-    (the only selective policy fitting one v5e — vast.py VASTConfig)."""
+    (the only selective policy fitting one v5e — vast.py VASTConfig);
+    the *_offload policies park residuals in pinned host memory."""
     import dataclasses
 
     from tests.helpers import tiny_vast_config
@@ -162,13 +165,49 @@ def test_fsdp_sharding_runs():
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def light_state(seed=0):
+    """Train state without compiling the multi-head init or a train step
+    (those cost ~2.5 min of the fast tier): eval_shape the init, fill
+    params randomly in one cheap jit, then one apply_gradients with
+    synthetic grads so the optimizer moments/step are nonzero."""
+    cfg = tiny_vast_config()
+    model = VASTModel(cfg)
+    batch = tiny_batch(b=2)
+    shapes = jax.eval_shape(
+        lambda r: model.init({"params": r}, batch, "ret%tva",
+                             compute_loss=False, deterministic=True),
+        jax.random.PRNGKey(0))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def fill(rng):
+        keys = jax.random.split(rng, len(leaves))
+        return [jax.random.normal(k, l.shape, l.dtype) * 0.02
+                for k, l in zip(keys, leaves)]
+
+    params = jax.tree_util.tree_unflatten(treedef,
+                                          fill(jax.random.PRNGKey(seed)))
+    tx, _ = build_optimizer(params, RUN_CFG, MODEL_CFG, 100)
+    state = create_train_state(params, tx)
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 1e-3), state.params)
+
+    @jax.jit
+    def one_update(s):
+        import optax
+        updates, opt = tx.update(grads, s.opt_state, s.params)
+        return s.replace(step=s.step + 1,
+                         params=optax.apply_updates(s.params, updates),
+                         opt_state=opt)
+
+    return one_update(state), tx
+
+
 def test_saver_roundtrip(tmp_path):
-    model, state, step, batch, _ = build()
-    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    state, _ = light_state()
     saver = ModelSaver(str(tmp_path))
     saver.save(state, 1)
     # fresh state, restore
-    _, state2, _, _, _ = build(seed=1)
+    state2, _ = light_state(seed=1)
     restored, start = saver.restore_latest(state2)
     assert start == 1
     for a, b in zip(jax.tree.leaves(state.params),
@@ -182,15 +221,11 @@ def test_resume_restores_moments_into_sharded_state(tmp_path):
     moments on any multi-device run. pipeline.train now restores after
     shard_state; this reproduces that flow and checks the moments (and
     step counter) survive onto the mesh-sharded layout."""
-    from vast_tpu.training.optimizer import build_optimizer as _bo
-
-    model, state, step, batch, _ = build()
-    state, _ = step(state, batch, jax.random.PRNGKey(0))  # nonzero moments
+    state, _ = light_state()  # apply_gradients -> nonzero moments
     saver = ModelSaver(str(tmp_path))
     saver.save(state, 1)
 
-    _, fresh, _, _, _ = build(seed=1)
-    tx, _ = _bo(fresh.params, RUN_CFG, MODEL_CFG, 100)
+    fresh, tx = light_state(seed=1)
     mesh = create_mesh(dp=4, fsdp=2)
     sharded = shard_state(mesh, fresh, fsdp=True, tx=tx)  # re-inits moments
     restored, start = saver.restore_latest(sharded)
@@ -205,7 +240,7 @@ def test_resume_restores_moments_into_sharded_state(tmp_path):
 
 
 def test_saver_removes_previous(tmp_path):
-    model, state, step, batch, _ = build()
+    state, _ = light_state()
     saver = ModelSaver(str(tmp_path))
     saver.save(state, 1)
     saver.save(state, 2)
