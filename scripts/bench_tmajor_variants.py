@@ -10,15 +10,23 @@ rotation cost is pure overhead. Candidate layouts measured here, all
 keeping the unpadded-projection FLOP win:
 
   cur   — adopted round-3 kernel (in-register misaligned slices)
-  hgrid — per-head grid: BlockSpec cuts ONE head's (Lp, 3*88) strip per
-          grid step, so the misalignment is handled by the HBM->VMEM DMA
-          (strided copy) instead of in-register rotations; relative
-          sub-slices at 0/88/176 rotate a 264-wide group, not 4224
   sect  — section-major fused layout [Q(1408)|K(1408)|V(1408)] (each
           section 11x128-aligned): per-head slices i*88 rotate within a
           1408-wide group; section cuts themselves are free
-  hgrid2— per-head grid over the section-major layout: three DMAs of
-          (Lp, 88) per step at lane offsets i*88
+  dma   — per-head grid with the input left in HBM (memory_space=ANY):
+          the kernel manually `make_async_copy`s ONE head's (Lp, 3*88)
+          strip per grid step, so the misalignment is handled by the
+          HBM->VMEM DMA engine instead of in-register lane rotations
+  pad128— round-2 padded layout (Dp=128, zero lanes): the kernel-speed
+          reference point; its projections carry +45% FLOPs (measured
+          separately in the chain bench, BENCH_NOTES)
+
+NOTE (attempted, rejected by the Mosaic lowering): a per-head BlockSpec
+grid over either the fused (block last dim 264) or section-major
+(block last dim 88) layout fails to lower — "the last two dimensions
+of your block shape" must be (8,128)-divisible or equal to the array
+dims, and a per-head strip is neither. The `dma` variant is the same
+idea expressed through the manual-copy API instead of BlockSpec.
 
 Each variant is timed fwd-only and fwd+bwd at (B=256, Lp=272, H=16,
 D=88) bf16 — the exact flagship shape (32 clips x 8 frames, 257 tokens
@@ -65,28 +73,44 @@ def _softmax_av(q, k, v, lk_true):
                                preferred_element_type=jnp.float32)
 
 
-# ---------------------------------------------------------------- hgrid
-def _hgrid_kernel(qkv_ref, o_ref, *, dp, lk_true):
-    blk = qkv_ref[...]                               # (G, Lp, 3*Dp)
-    q = blk[..., :dp]
-    k = blk[..., dp:2 * dp]
-    v = blk[..., 2 * dp:3 * dp]
-    o_ref[...] = _softmax_av(q, k, v, lk_true).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("heads", "lk_true"))
-def attention_hgrid(qkv, *, heads, lk_true=0):
+# ------------------------------------------------------------------ dma
+@functools.partial(jax.jit, static_argnames=("heads", "lk_true", "interpret"))
+def attention_dma(qkv, *, heads, lk_true=0, interpret=False):
+    """Input stays in HBM; each grid step DMAs one head's strip. The
+    output head strips (Lp, 88) still can't be BlockSpec'd per head, so
+    the output block spans ALL heads (full last dim) and each step
+    writes its own strip — in-register rotation on the WRITE only."""
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
     g = 4
+
+    def _kern(qkv_hbm, o_ref, scr, sem):
+        ih = pl.program_id(1)
+        ib = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            qkv_hbm.at[pl.ds(ib * g, g), :, pl.ds(ih * 3 * dp, 3 * dp)],
+            scr, sem)
+        cp.start()
+        cp.wait()
+        blk = scr[...]
+        q = blk[..., :dp]
+        k = blk[..., dp:2 * dp]
+        v = blk[..., 2 * dp:3 * dp]
+        o_ref[..., pl.ds(ih * dp, dp)] = _softmax_av(
+            q, k, v, lk_true).astype(o_ref.dtype)
+
     return pl.pallas_call(
-        functools.partial(_hgrid_kernel, dp=dp, lk_true=lk_true),
+        _kern,
         grid=(b // g, heads),
-        in_specs=[pl.BlockSpec((g, lp, 3 * dp), lambda ib, ih: (ib, 0, ih))],
-        out_specs=pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((g, lp, heads * dp),
+                               lambda ib, ih: (ib, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((g, lp, 3 * dp), qkv.dtype),
+                        pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
     )(qkv)
 
 
@@ -102,8 +126,8 @@ def _sect_kernel(qkv_ref, o_ref, *, dp, heads, lk_true):
             q, k, v, lk_true).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "lk_true"))
-def attention_sect(qkv, *, heads, lk_true=0):
+@functools.partial(jax.jit, static_argnames=("heads", "lk_true", "interpret"))
+def attention_sect(qkv, *, heads, lk_true=0, interpret=False):
     """qkv in section-major layout (B, Lp, [Q_all | K_all | V_all])."""
     b, lp, total = qkv.shape
     dp = (total // 3) // heads
@@ -115,50 +139,40 @@ def attention_sect(qkv, *, heads, lk_true=0):
         out_shape=jax.ShapeDtypeStruct((b, lp, heads * dp), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
+        interpret=interpret,
     )(qkv)
 
 
-# --------------------------------------------------------------- hgrid2
-def _hgrid2_kernel(q_ref, k_ref, v_ref, o_ref, *, lk_true):
-    o_ref[...] = _softmax_av(q_ref[...], k_ref[...], v_ref[...],
-                             lk_true).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("heads", "lk_true"))
-def attention_hgrid2(q, k, v, *, heads, lk_true=0):
-    """Separate (B, Lp, H*Dp) q/k/v; per-head DMA at lane offset i*Dp."""
-    b, lp, hd = q.shape
-    dp = hd // heads
-    g = 4
-    spec = pl.BlockSpec((g, lp, dp), lambda ib, ih: (ib, 0, ih))
-    return pl.pallas_call(
-        functools.partial(_hgrid2_kernel, lk_true=lk_true),
-        grid=(b // g, heads),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, lp, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-    )(q, k, v)
+# --------------------------------------------------------------- pad128
+def attention_pad128(qkv128, *, heads, lk_true=0):
+    """Round-2 padded layout: Dp=128 so every per-head slice is
+    lane-aligned (no rotations, 45% zero lanes). Kernel-speed reference
+    point — the adopted kernel path handles this via head_packing."""
+    return flash_self_attention_tmajor(qkv128, heads, lk_true, 1.0)
 
 
 # ------------------------------------------------------------- timing
+def _drain(out):
+    # over the axon relay, block_until_ready does NOT wait — only a host
+    # scalar fetch drains the device stream (see bench.py)
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)) * 0)
+
+
 def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # drain via scalar fetch (axon relay: block_until_ready alone does
-    # not wait — see bench.py)
+    _drain(fn(*args))  # warmup: compile + step 1 fully retired
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    float(jnp.sum(leaf.astype(jnp.float32)) * 0)
+    _drain(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", default="cur,hgrid,sect,hgrid2")
+    ap.add_argument("--variants", default="cur,sect,dma,pad128")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU interpret-mode functional check only")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -166,11 +180,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     rs = np.random.RandomState(0)
-    qkv = jnp.asarray(rs.randn(B, LP, H * 3 * D) * 0.05, jnp.bfloat16)
-    sect = jnp.asarray(rs.randn(B, LP, 3 * H * D) * 0.05, jnp.bfloat16)
-    q = jnp.asarray(rs.randn(B, LP, H * D) * 0.05, jnp.bfloat16)
-    k = jnp.asarray(rs.randn(B, LP, H * D) * 0.05, jnp.bfloat16)
-    v = jnp.asarray(rs.randn(B, LP, H * D) * 0.05, jnp.bfloat16)
+    host = (rs.randn(B, LP, H * 3 * D) * 0.05).astype(jnp.bfloat16)
+    qkv = jnp.asarray(host)
+    # section-major permutation of the SAME data: [q0..qH | k0..kH | v..]
+    h4 = host.reshape(B, LP, H, 3, D)
+    sect = jnp.asarray(np.ascontiguousarray(
+        h4.transpose(0, 1, 3, 2, 4)).reshape(B, LP, 3 * H * D))
+    # padded-128 layout of the same data (each 88 section -> 128 lanes)
+    pad = np.zeros((B, LP, H, 3, 128), host.dtype)
+    pad[..., :D] = h4
+    qkv128 = jnp.asarray(pad.reshape(B, LP, H * 3 * 128))
+    del host, h4, pad
 
     # correctness cross-check on a small slice: all variants must agree
     # with the adopted kernel
@@ -183,33 +203,36 @@ def main():
                 fwd = lambda x: flash_self_attention_tmajor(  # noqa: E731
                     x, H, LK_TRUE, 1.0)
                 grad_args = (qkv,)
-            elif name == "hgrid":
-                fn = lambda: attention_hgrid(  # noqa: E731
-                    qkv, heads=H, lk_true=LK_TRUE)
-                fwd = lambda x: attention_hgrid(  # noqa: E731
-                    x, heads=H, lk_true=LK_TRUE)
-                grad_args = (qkv,)
             elif name == "sect":
                 fn = lambda: attention_sect(  # noqa: E731
                     sect, heads=H, lk_true=LK_TRUE)
                 fwd = lambda x: attention_sect(  # noqa: E731
                     x, heads=H, lk_true=LK_TRUE)
                 grad_args = (sect,)
-            elif name == "hgrid2":
-                fn = lambda: attention_hgrid2(  # noqa: E731
-                    q, k, v, heads=H, lk_true=LK_TRUE)
-                fwd = lambda a, b_, c: attention_hgrid2(  # noqa: E731
-                    a, b_, c, heads=H, lk_true=LK_TRUE)
-                grad_args = (q, k, v)
+            elif name == "dma":
+                fn = lambda: attention_dma(  # noqa: E731
+                    qkv, heads=H, lk_true=LK_TRUE, interpret=args.interpret)
+                fwd = lambda x: attention_dma(  # noqa: E731
+                    x, heads=H, lk_true=LK_TRUE, interpret=args.interpret)
+                grad_args = (qkv,)
+            elif name == "pad128":
+                fn = lambda: attention_pad128(  # noqa: E731
+                    qkv128, heads=H, lk_true=LK_TRUE)
+                fwd = lambda x: attention_pad128(  # noqa: E731
+                    x, heads=H, lk_true=LK_TRUE)
+                grad_args = (qkv128,)
             else:
                 continue
 
             out = fn()
             if name == "cur":
                 ref_small = np.asarray(out[:2], np.float32)
-            elif name in ("hgrid",) and ref_small is not None:
-                np.testing.assert_allclose(np.asarray(out[:2], np.float32),
-                                           ref_small, atol=2e-2)
+            elif ref_small is not None:
+                small = np.asarray(out[:2], np.float32)
+                if name == "pad128":
+                    small = small.reshape(2, LP, H, 128)[..., :D] \
+                        .reshape(2, LP, H * D)
+                np.testing.assert_allclose(small, ref_small, atol=2e-2)
 
             ms_fwd = timeit(lambda: fn(), iters=args.iters)
             rec = {"variant": name, "fwd_ms": round(ms_fwd, 3)}
