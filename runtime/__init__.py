@@ -247,6 +247,16 @@ def media_unavailable_reason() -> str | None:
     return f"{why}" + (f" [{d}]" if d else "")
 
 
+def _require_lib():
+    """_load() that raises the documented unavailability reason instead of
+    letting callers hit an AttributeError on None (ADVICE r4)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(media_unavailable_reason()
+                           or "native runtime failed to load")
+    return lib
+
+
 def _paths_array(paths: list[str]):
     arr = (ctypes.c_char_p * len(paths))()
     arr[:] = [p.encode() for p in paths]
@@ -256,7 +266,7 @@ def _paths_array(paths: list[str]):
 def decode_image_batch(paths: list[str], target: int,
                        n_threads: int = 8):
     """JPEG files -> (n, target, target, 3) uint8 + ok flags."""
-    lib = _load()
+    lib = _require_lib()
     n = len(paths)
     out = np.zeros((n, target, target, 3), np.uint8)
     ok = np.zeros(n, np.int32)
@@ -270,7 +280,7 @@ def decode_image_batch(paths: list[str], target: int,
 def load_wav_batch(paths: list[str], num_samples: int,
                    n_threads: int = 8):
     """WAV files -> (n, num_samples) float32 int16-scale @16 kHz + valid."""
-    lib = _load()
+    lib = _require_lib()
     n = len(paths)
     out = np.zeros((n, num_samples), np.float32)
     valid = np.zeros(n, np.int32)
@@ -283,7 +293,7 @@ def load_wav_batch(paths: list[str], num_samples: int,
 
 def video_info_batch(paths: list[str], n_threads: int = 8):
     """Video files -> (num_frames int64, fps float64); -1 frames = bad."""
-    lib = _load()
+    lib = _require_lib()
     n = len(paths)
     frames = np.zeros(n, np.int64)
     fps = np.zeros(n, np.float64)
@@ -301,7 +311,7 @@ def decode_video_batch(paths: list[str], indices: np.ndarray, target: int,
     Returns ((n, k, target, target, 3) uint8, ok flags) — the native
     equivalent of decord's VideoReader.get_batch (vision_mapper.py:139-149).
     """
-    lib = _load()
+    lib = _require_lib()
     n = len(paths)
     indices = np.ascontiguousarray(indices, np.int32)
     assert indices.shape[0] == n
@@ -332,7 +342,7 @@ def _bytes_arrays(blobs: list[bytes]):
 def video_info_bytes_batch(blobs: list[bytes], n_threads: int = 8):
     """In-memory video containers -> (num_frames int64, fps float64);
     -1 frames = undecodable. Webdataset tar members (IndexSrc.py:104-108)."""
-    lib = _load()
+    lib = _require_lib()
     n = len(blobs)
     arr, sizes = _bytes_arrays(blobs)
     frames = np.zeros(n, np.int64)
@@ -351,7 +361,7 @@ def decode_video_bytes_batch(blobs: list[bytes], indices: np.ndarray,
     Returns ((n, k, target, target, 3) uint8, ok flags) — the bytes
     counterpart of decode_video_batch, for tar-member mp4s with no
     tmpfs spooling."""
-    lib = _load()
+    lib = _require_lib()
     n = len(blobs)
     indices = np.ascontiguousarray(indices, np.int32)
     assert indices.shape[0] == n
@@ -371,7 +381,7 @@ def load_audio_batch(paths: list[str], num_samples: int,
                      n_threads: int = 8):
     """Any audio container (mp3/mkv/mp4/wav/...) -> 16 kHz mono float32
     at int16 scale, shape (n, num_samples), + valid flags."""
-    lib = _load()
+    lib = _require_lib()
     n = len(paths)
     out = np.zeros((n, num_samples), np.float32)
     valid = np.zeros(n, np.int32)
@@ -385,14 +395,14 @@ def load_audio_batch(paths: list[str], num_samples: int,
 def encode_video(path: str, w: int = 64, h: int = 64, n_frames: int = 48,
                  fps: float = 24.0) -> bool:
     """Deterministic fixture video: frame i has luma 21 + (i % 100) * 2."""
-    lib = _load()
+    lib = _require_lib()
     return bool(lib.vrt_encode_video(path.encode(), w, h, n_frames, fps))
 
 
 def encode_audio_tone(path: str, sample_rate: int = 16000,
                       n_samples: int = 16000, freq: float = 440.0) -> bool:
     """Deterministic fixture audio: 0.5-amplitude sine at ``freq`` Hz."""
-    lib = _load()
+    lib = _require_lib()
     return bool(lib.vrt_encode_audio_tone(path.encode(), sample_rate,
                                           n_samples, freq))
 

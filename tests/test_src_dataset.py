@@ -250,6 +250,27 @@ def test_txt_format_json_dict(tmp_path):
                        "img00002": "second one"}
 
 
+def test_txt_format_json_overrides_tar_member(tmp_path):
+    """When txt_format='json', the json lookup unconditionally overrides an
+    in-tar .txt member (IndexSrc.py:119-120); the tar member is used only
+    when the lookup misses the key (ADVICE r4)."""
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    # make_shard writes BOTH a .jpg and a .txt member per key
+    make_shard(str(shard_dir / "s0.tar"), 2, 0)
+    cap_path = tmp_path / "caps.json"
+    with open(cap_path, "w") as f:
+        json.dump({"img00000": "json wins"}, f)  # img00001 missing
+    d_cfg = {"type": "srcindexed", "training": False, "name": "cc12m",
+             "vision": str(shard_dir), "txt": str(cap_path),
+             "txt_format": "json", "vision_format": "image_rawimage",
+             "task": "ret%tv", "batch_size": 2}
+    ds = SrcIndexedDataset(d_cfg, make_args(), tiny_tokenizer())
+    samples = {s["id"]: s["raw_captions"] for s in ds}
+    assert samples["img00000"] == "json wins"          # override
+    assert samples["img00001"] == "a man in the park 1"  # fallback
+
+
 def test_shard_list_from_json(tmp_path):
     """The shard source may be a JSON list of tar paths
     (IndexSrc.py:150-152)."""

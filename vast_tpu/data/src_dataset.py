@@ -186,13 +186,17 @@ class SrcIndexedDataset:
                     np.uint8)
                 sample["vision_frames"] = \
                     self._resize(img, self.host_size)[None]
-            # caption priority mirrors the reference: the in-tar txt member
-            # when the tuple carries one (laion400m), else txt_format lookup
+            # caption priority mirrors the reference: an explicit
+            # txt_format lookup unconditionally overrides any in-tar txt
+            # member (IndexSrc.py:119-120); the tar member is only the
+            # fallback when the lookup misses the key
             cap = None
-            if "txt" in parts:
-                cap = parts["txt"].decode("utf-8", "replace").strip()
-            elif self.txt_format in ("json", "dir"):
+            if self.txt_format in ("json", "dir"):
                 cap = self._lookup_caption(key)
+                if cap is None and "txt" in parts:
+                    cap = parts["txt"].decode("utf-8", "replace").strip()
+            elif "txt" in parts:
+                cap = parts["txt"].decode("utf-8", "replace").strip()
             elif "json" in parts:
                 meta = json.loads(parts["json"])
                 cap = meta.get("caption", "")

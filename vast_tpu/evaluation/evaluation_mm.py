@@ -420,8 +420,12 @@ def compute_metric_ret(score_matrix, ids, ids_txt, direction="forward"):
                 f"{round(r1*100,1)}/{round(r5*100,1)}/{round(r10*100,1)}",
             "forward_ravg": round((r1 + r5 + r10) / 3 * 100, 1),
         }
-    # backward: per vision item, best rank over ALL its ground-truth texts
-    cond_of = {v: i for i, v in enumerate(ids)}
+    # backward: per vision item, best rank over ALL its ground-truth texts.
+    # first-occurrence mapping (setdefault) matches the forward direction
+    # and list.index semantics when ids carry duplicates
+    cond_of = {}
+    for i, v in enumerate(ids):
+        cond_of.setdefault(v, i)
     txt_cond = np.asarray([cond_of[t] for t in ids_txt])
     own_rank = np.empty(n_text, np.int64)
     chunk = max(1, (1 << 24) // max(n_text, 1))

@@ -28,7 +28,22 @@ from __future__ import annotations
 import jax
 from jax.ad_checkpoint import checkpoint_name
 
+try:  # private but stable since the offload policies landed; the string
+    # fallback below keeps a JAX rename from silently degrading the policy
+    from jax._src.interpreters.partial_eval import Offloadable as _Offloadable
+except ImportError:  # pragma: no cover - future JAX refactor
+    _Offloadable = None
+
 ATTN_NAME = "attn_out"
+
+
+def _is_offload_decision(a) -> bool:
+    """True when a sub-policy returned an offload sentinel (vs Recompute/
+    Saveable booleans). isinstance against the real class when importable;
+    name-compare only as the refactor-survival fallback (ADVICE r4)."""
+    if _Offloadable is not None:
+        return isinstance(a, _Offloadable)
+    return type(a).__name__ == "Offloadable"
 
 
 def remat_policy(name: str):
@@ -68,7 +83,7 @@ def remat_policy(name: str):
             a = dots(prim, *args, **kw)
             # non-matches return the Recompute sentinel; the two sub-
             # policies match disjoint primitives (dot_general vs name_p)
-            if type(a).__name__ == "Offloadable":
+            if _is_offload_decision(a):
                 return a
             return attn(prim, *args, **kw)
 
