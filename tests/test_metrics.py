@@ -167,3 +167,118 @@ def test_scorers_match_reference_vendored():
         assert abs(got_bleu[n] - want_bleu[n]) < 1e-6, (n, got_bleu, want_bleu)
     assert abs(rouge_l(gts, res) - want_rouge) < 1e-6
     assert abs(cider(gts, res) - want_cider) < 1e-6
+
+
+# ------------------------------------------------------------------
+# pure-Python METEOR (meteor_py.py) — hand-computed fixtures
+# ------------------------------------------------------------------
+
+def test_meteor_identical_is_one():
+    from vast_tpu.evaluation.metrics.meteor_py import meteor_segment
+    # full bidirectional single-chunk match => zero fragmentation penalty
+    assert meteor_segment("the cat sat on the mat",
+                          ["the cat sat on the mat"]) == pytest.approx(1.0)
+
+
+def test_meteor_no_overlap_is_zero():
+    from vast_tpu.evaluation.metrics.meteor_py import meteor_segment
+    assert meteor_segment("xylophone quartz", ["dog runs fast"]) == 0.0
+    assert meteor_segment("", ["dog runs"]) == 0.0
+    assert meteor_segment("dog runs", [""]) == 0.0
+
+
+def test_meteor_prefix_hand_computed():
+    """hyp='the cat sat' ref='the cat sat on the mat'.
+
+    3 exact matches, 1 chunk. Function words: the/on; content: cat sat mat.
+    wl_h = .75*2+.25 = 1.75 (all matched, exact w=1) -> P = 1.
+    wl_r = .75*3+.25*3 = 3.0; wm_r = .25+.75+.75 = 1.75 -> R = 7/12.
+    Fmean = P*R/(.85P+.15R) = (7/12)/(.85+.15*7/12).
+    Pen = 0.6*(1/3)**0.2; score = (1-Pen)*Fmean.
+    """
+    from vast_tpu.evaluation.metrics.meteor_py import meteor_segment
+    p, r = 1.0, 1.75 / 3.0
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    pen = 0.6 * (1 / 3) ** 0.2
+    assert meteor_segment("the cat sat", ["the cat sat on the mat"]) == \
+        pytest.approx((1 - pen) * fmean)
+
+
+def test_meteor_stem_stage_weight():
+    """'cats'~'cat', 'running'~'runs' only match through the Porter stage
+    (weight 0.6); 'the' matches exactly (weight 1.0). Single chunk of 3
+    covering both sentences fully => no penalty.
+    wl (both sides) = .25 + .75 + .75 = 1.75; wm = .25*1 + .6*(.75+.75).
+    """
+    from vast_tpu.evaluation.metrics.meteor_py import meteor_segment
+    pr = (0.25 + 0.6 * 1.5) / 1.75
+    fmean = pr * pr / (0.85 * pr + 0.15 * pr)
+    got = meteor_segment("the cats running", ["the cat runs"])
+    assert got == pytest.approx(fmean)  # chunks==1, full coverage both sides
+
+
+def test_meteor_chunks_counted():
+    """Reordered words fragment the alignment: 'b a' vs 'a b' is 2 chunks
+    over 2 matches => Pen = 0.6*(2/2)**0.2 = 0.6, vs in-order 'a b' which
+    is one full chunk => Pen = 0."""
+    from vast_tpu.evaluation.metrics.meteor_py import meteor_segment
+    in_order = meteor_segment("a b", ["a b"])
+    reordered = meteor_segment("b a", ["a b"])
+    assert in_order == pytest.approx(1.0)
+    assert reordered == pytest.approx(0.4 * 1.0)  # (1-0.6)*Fmean(1,1)
+
+
+def test_meteor_aligner_minimizes_chunks():
+    """With duplicate words the aligner must pick the pairing with fewer
+    chunks among equal-weight alignments: hyp 'the cat the' vs ref
+    'the cat the' trivially 1 chunk; hyp 'the cat' vs ref 'cat the cat'
+    can align 'the'->pos1,'cat'->pos2 contiguously (1 chunk) instead of
+    'cat'->pos0 (2 chunks)."""
+    from vast_tpu.evaluation.metrics.meteor_py import _align
+    pairs, chunks = _align(["the", "cat"], ["cat", "the", "cat"])
+    assert len(pairs) == 2 and chunks == 1
+
+
+def test_meteor_best_reference_wins():
+    from vast_tpu.evaluation.metrics.meteor_py import meteor_segment
+    one = meteor_segment("a man rides a horse",
+                         ["a man rides a horse", "completely unrelated"])
+    assert one == pytest.approx(1.0)
+
+
+def test_meteor_corpus_aggregates_stats():
+    """Corpus score applies the formula to SUMMED statistics, not the mean
+    of segment scores (meteor jar EVAL line semantics)."""
+    from vast_tpu.evaluation.metrics.meteor_py import (
+        _Stats, _segment_stats, _tokens, meteor_score)
+    gts = {"1": ["the cat sat on the mat"], "2": ["dogs play outside"]}
+    res = {"1": ["the cat sat"], "2": ["dogs play outside"]}
+    total = _Stats()
+    for k in res:
+        total.add(_segment_stats(_tokens(res[k][0]), _tokens(gts[k][0])))
+    assert meteor_score(gts, res) == pytest.approx(total.score())
+    seg_mean = sum(
+        _segment_stats(_tokens(res[k][0]), _tokens(gts[k][0])).score()
+        for k in res) / 2
+    assert meteor_score(gts, res) != pytest.approx(seg_mean)
+
+
+def test_meteor_in_caption_metrics(tmp_path):
+    """compute_caption_metrics now always reports METEOR (jar absent =>
+    pure-Python scorer), closing SURVEY component 30."""
+    import json
+
+    ann = {"annotations": [
+        {"image_id": "v1", "caption": "a man is running in the park"},
+        {"image_id": "v2", "caption": "two dogs play with a ball"},
+    ]}
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    results = [{"video_id": "v1", "caption": "a man is running in the park"},
+               {"video_id": "v2", "caption": "two dogs play with a ball"}]
+    m = compute_caption_metrics(results, str(p))
+    assert m["METEOR"] == pytest.approx(100.0)
+    results = [{"video_id": "v1", "caption": "a man runs in a park"},
+               {"video_id": "v2", "caption": "a cat sleeps"}]
+    m = compute_caption_metrics(results, str(p))
+    assert 0.0 < m["METEOR"] < 100.0

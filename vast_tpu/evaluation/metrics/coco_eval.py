@@ -41,9 +41,15 @@ def compute_caption_metrics(results: list[dict], annfile: str) -> dict:
         "ROUGE_L": rouge_l(gts, res),
         "CIDEr": cider(gts, res),
     }
+    # METEOR: the jar when present (exact reference parity), else the
+    # pure-Python reimplementation (exact+stem stages; see meteor_py.py
+    # for the documented deviations)
     from vast_tpu.evaluation.metrics import meteor
     if meteor.available():
         raw_gts = {k: gts_raw[k] for k in keys}
         raw_res = {k: res_raw[k] for k in keys}
         metrics["METEOR"] = meteor.meteor_score(raw_gts, raw_res)
+    else:
+        from vast_tpu.evaluation.metrics import meteor_py
+        metrics["METEOR"] = meteor_py.meteor_score(gts, res)
     return {k: round(v * 100, 2) for k, v in metrics.items()}
