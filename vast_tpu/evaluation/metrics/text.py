@@ -15,12 +15,90 @@ import math
 import re
 from collections import Counter, defaultdict
 
-_PUNCT = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
-          ".", "?", "!", ",", ":", "-", "--", "...", ";"]
-# the Stanford tokenizer emits round/curly brackets as -LRB-/-RRB-/
-# -LCB-/-RCB- (which the PUNCTUATIONS filter then removes); we see the
-# raw characters
-_PUNCT_SET = set(_PUNCT) | {"(", ")", "{", "}"}
+# The reference pipeline is: Java PTBTokenizer with `-preserveLines
+# -lowerCase` (so every emitted token is ALREADY lowercase), then a Python
+# filter dropping tokens `in PUNCTUATIONS` — an UPPERCASE list
+# (tokenizer/ptbtokenizer.py:24-25,69). Consequence the old approximation
+# missed: the bracket pseudo-tokens arrive lowercased ("-lrb-") and do NOT
+# match the uppercase list entries ("-LRB-"), so brackets SURVIVE the
+# filter in the reference output (as they do in the published COCO-caption
+# token vocabularies). We replicate the full two-stage pipeline: tokenize
+# like CoreNLP 3.4.1 PTBLexer defaults, lowercase, then filter with the
+# verbatim list.
+_PUNCTUATIONS = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+                 ".", "?", "!", ",", ":", "-", "--", "...", ";"]
+_PUNCT_SET = set(_PUNCTUATIONS)
+
+# CoreNLP PTBLexer unicode normalization (defaults: latexQuotes=true,
+# ptb3Dashes=true, ptb3Ellipsis=true, normalizeFractions=true,
+# normalizeAmpersandEntity=true). Curly quotes -> latex quotes, unicode
+# dashes -> "--", unicode ellipsis -> "...". All of `` '' ` ' -- ... are
+# later removed by the PUNCTUATIONS filter, so the quote open/close
+# distinction need not be tracked.
+_UNICODE_MAP = {
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "–": "--", "—": "--", "―": "--",
+    "…": "...",
+    "¼": "1\\/4", "½": "1\\/2", "¾": "3\\/4",
+    " ": " ",
+}
+_UNICODE_RE = re.compile("|".join(map(re.escape, _UNICODE_MAP)))
+
+_BRACKETS = {"(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-",
+             "[": "-LSB-", "]": "-RSB-"}
+
+# Common abbreviations the PTBLexer keeps fused with their period
+# (PTBLexer ABBREV lists, trimmed to caption-plausible entries). With
+# strictTreebank3=false (the default) a sentence-final abbreviation keeps
+# its period and an extra "." token is emitted — the extra "." is filtered
+# downstream, so we only need the fused form.
+_ABBREVS = frozenset(
+    "mr mrs ms dr prof rev hon st jr sr gen gov sgt capt lt col "
+    "vs etc inc ltd co corp bros vol vols approx dept "
+    "mt ft lb lbs hr hrs jan feb apr jun jul aug sep "
+    "sept oct nov dec tue tues thur thurs".split())
+
+# Americanize-lite: PTBLexer defaults americanize=true; full
+# Americanize.java is a large pattern table — this covers the
+# caption-frequent words only (residual divergence documented in
+# tests/test_metrics.py::test_ptb_tokenize_residual_divergences).
+_AMERICANIZE = {
+    "colour": "color", "colours": "colors", "coloured": "colored",
+    "colourful": "colorful", "favourite": "favorite",
+    "favourites": "favorites", "favour": "favor", "flavour": "flavor",
+    "flavours": "flavors", "harbour": "harbor", "harbours": "harbors",
+    "neighbour": "neighbor", "neighbours": "neighbors",
+    "neighbourhood": "neighborhood", "armour": "armor",
+    "humour": "humor", "labour": "labor", "centre": "center",
+    "centres": "centers", "theatre": "theater", "theatres": "theaters",
+    "metre": "meter", "metres": "meters", "litre": "liter",
+    "litres": "liters", "fibre": "fiber", "travelling": "traveling",
+    "traveller": "traveler", "jewellery": "jewelry",
+    "moustache": "mustache", "pyjamas": "pajamas", "doughnut": "donut",
+    "doughnuts": "donuts", "aeroplane": "airplane",
+    "aeroplanes": "airplanes",
+}
+
+# Token scanner, alternatives in priority order:
+#   1. acronyms with periods (u.s., a.m.) — kept fused
+#   2. known abbreviations + period — kept fused
+#   3. comma-grouped numbers (1,000,000.5)
+#   4. decimals / times-scores (3.5, 5:30, 2:1)
+#   5. words, possibly hyphen/slash/apostrophe-joined (state-of-the-art,
+#      black/white, man's) — PTB keeps hyphenated compounds single
+#   6. ellipsis / em-dash runs
+#   7. any single non-space char
+_ABBREV_ALT = "|".join(sorted(_ABBREVS, key=len, reverse=True))
+_TOKEN_RE = re.compile(
+    r"(?:[A-Za-z]\.){2,}"
+    rf"|(?:{_ABBREV_ALT})\.(?![A-Za-z0-9])"
+    r"|\d{1,3}(?:,\d{3})+(?:\.\d+)?"
+    r"|\d+[.:]\d+(?:[.:]\d+)*"
+    r"|[A-Za-z0-9]+(?:[-/'][A-Za-z0-9]+)*"
+    r"|\.\.\.|--+"
+    r"|\S",
+    re.IGNORECASE)
 
 
 def _split_clitics(t: str) -> list[str]:
@@ -40,20 +118,43 @@ def _split_clitics(t: str) -> list[str]:
 
 
 def ptb_tokenize(text: str) -> list[str]:
-    """Lowercase word tokenizer dropping the PTBTokenizer punctuation set.
+    """CoreNLP-3.4.1-faithful lowercase tokenizer + PUNCTUATIONS filter.
 
-    Approximates the Stanford PTBTokenizer pipeline used by pycocoevalcap
-    (tokenizer/ptbtokenizer.py): lowercase, split words/punctuation,
-    split PTB clitics, drop the PUNCTUATIONS list (no Java dependency).
+    Replicates the pycocoevalcap pipeline (tokenizer/ptbtokenizer.py:31-56:
+    `java PTBTokenizer -preserveLines -lowerCase` then drop PUNCTUATIONS)
+    without the Java dependency: unicode quote/dash/ellipsis normalization,
+    bracket pseudo-tokens (-lrb- etc., which the uppercase filter list does
+    NOT remove from lowercased output), hyphenated compounds kept single,
+    comma-grouped numbers and times kept single, abbreviations kept fused
+    with their period, forward-slash/asterisk escaping, PTB clitic
+    splitting, and an Americanize-lite spelling pass. Golden fixtures:
+    tests/fixtures/ptb_golden.json.
     """
-    text = text.lower().strip()
-    text = re.sub(r"[\t\n\r]", " ", text)
-    toks = re.findall(r"[a-z0-9]+(?:'[a-z]+)*|[^\sa-z0-9]", text)
+    text = _UNICODE_RE.sub(lambda m: _UNICODE_MAP[m.group(0)], text)
+    text = text.replace("&amp;", "&")
+    text = re.sub(r"\s+", " ", text).strip()
     out = []
-    for t in toks:
+    for t in _TOKEN_RE.findall(text):
+        if t in _BRACKETS:
+            out.append(_BRACKETS[t].lower())
+            continue
+        if t.startswith("--"):
+            t = "--"
+        if t == '"':
+            # latexQuotes: " -> `` or '' — both in PUNCTUATIONS, dropped
+            continue
+        t = t.lower()
         if t in _PUNCT_SET:
             continue
-        out.extend(_split_clitics(t))
+        for part in _split_clitics(t):
+            part = _AMERICANIZE.get(part, part)
+            # escapeForwardSlashAsterisk=true (PTBLexer default): / -> \/,
+            # * -> \* — inside slash-compounds and standalone alike
+            if "/" in part and "\\/" not in part:
+                part = part.replace("/", "\\/")
+            if part == "*":
+                part = "\\*"
+            out.append(part)
     return out
 
 
