@@ -172,8 +172,14 @@ class VisionMapper:
         self.vision_format = d_cfg["vision_format"]
         self.sample_num = d_cfg.get("vision_sample_num", 1)
         self.resolution = args.model_cfg.vision_resolution
-        # decode at ~1.15x the model resolution so crop_flip has margin
-        self.host_size = int(self.resolution * 1.15)
+        # training: decode at ~1.15x the model resolution so the device
+        # random-resized-crop has margin.  eval: decode at exactly the
+        # model resolution — the device center-crop then reduces to the
+        # canonical Resize(R)+CenterCrop(R) eval transform (one bilinear
+        # stage, like the reference's CPU torchvision pipeline,
+        # vision_mapper.py:67-78) and host->device traffic drops 24%.
+        self.host_size = (int(self.resolution * 1.15)
+                          if d_cfg["training"] else self.resolution)
         self.transforms = d_cfg.get("vision_transforms", "none")
         # feature-extraction mode (vision_mapper.py:23-26, :141-143)
         self.dense_extraction = d_cfg.get("dense_extraction", False)
