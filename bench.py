@@ -207,17 +207,23 @@ def _make_media_fixtures():
     return vids, auds
 
 
-def _decode_batch(vids, auds, n_threads):
+def _decode_batch(vids, auds, n_threads, yuv=False):
     """One dataloader unit of work: 8 evenly-sampled frames at 224px
     (eval sampling, vision_mapper.py:144-148; eval decodes at exactly the
-    model resolution since round 5) + the full audio track."""
+    model resolution since round 5) + the full audio track.
+
+    yuv=True uses the loader's packed-YUV420 wire format (pixel_format
+    "yuv420" in data/vision.py): the scaler runs on 1.5 samples/px and
+    the frames ship at half the RGB bytes; the device expands to RGB
+    (ops/image.py yuv420_to_rgb) inside the jitted forward."""
     import runtime
 
     seg = CLIP_FRAMES / 8.0
     idx = np.tile((np.arange(8) * seg + seg / 2).astype(np.int32),
                   (len(vids), 1))
-    frames, ok = runtime.decode_video_batch(vids, idx, 224,
-                                            n_threads=n_threads)
+    decode = (runtime.decode_video_batch_yuv if yuv
+              else runtime.decode_video_batch)
+    frames, ok = decode(vids, idx, 224, n_threads=n_threads)
     wavs, valid = runtime.load_audio_batch(auds, AUDIO_SAMPLES,
                                            n_threads=n_threads)
     if not (ok.all() and (valid == 1).all()):
@@ -226,11 +232,13 @@ def _decode_batch(vids, auds, n_threads):
 
 
 def bench_decode_standalone(vids, auds, n_threads):
-    _decode_batch(vids[:4], auds[:4], n_threads)  # warm page/file caches
+    # yuv=True: the pool measures the production wire format (see
+    # _decode_batch) — it both decodes faster and ships half the bytes
+    _decode_batch(vids[:4], auds[:4], n_threads, yuv=True)  # warm caches
     t0 = time.perf_counter()
     passes = 2
     for _ in range(passes):
-        _decode_batch(vids, auds, n_threads)
+        _decode_batch(vids, auds, n_threads, yuv=True)
     return passes * len(vids) / (time.perf_counter() - t0)
 
 
@@ -256,12 +264,13 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads, diag=None):
         (pipeline primed), counting the remaining n-1 batches.  The old
         timer charged the first ~1 s decode fill against the rate, a pure
         measurement artifact of the short window.
-      * int16 audio on the wire — the native decoder emits float32 at
-        int16 scale (runtime/vast_media.cpp vrt_load_audio_batch); the
-        producer quantizes to int16 (overlapped with decode) and a tiny
-        device jit dequantizes.  Together with eval decoding at 224
-        (frames uint8 38.5 MB + wavs int16 10.5 MB) the wire cost is
-        49.0 MB/batch, down from round 4's 71.7 MB (-32%).
+      * compact wire formats — audio ships int16 (the native decoder
+        emits int16-scale floats; a tiny device jit dequantizes) and
+        video ships packed YUV420 at 224 (pixel_format "yuv420":
+        data/vision.py + ops/image.py yuv420_to_rgb expand on device).
+        Frames 19.3 MB + wavs 10.5 MB = 29.8 MB/batch, down from round
+        4's 71.7 MB (-58%); decode itself is ~1.2x faster in YUV (the
+        scaler touches 1.5 samples/px instead of 3).
       * self-diagnosis — `diag` (if a dict) receives the per-component
         rates (decode, h2d bandwidth measured with the real frames batch,
         serial-CPU prediction) so a gate run on a congested axon tunnel
@@ -293,7 +302,7 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads, diag=None):
                 # 2-deep queue)
                 frames, wavs = _decode_batch([vids[s] for s in sel],
                                              [auds[s] for s in sel],
-                                             n_threads)
+                                             n_threads, yuv=True)
                 # int16 quantization on the producer thread: ~10 ms that
                 # overlaps the next decode, halves the audio wire bytes
                 q.put((frames, wavs.astype(np.int16)))
@@ -314,13 +323,13 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads, diag=None):
         frames, wavs_i16 = item
         return infer(params, dict(
             caption,
-            vision_frames=jnp.asarray(frames),
+            vision_frames_yuv=jnp.asarray(frames),
             audio_waveforms=dequant(jnp.asarray(wavs_i16))))
 
     # h2d bandwidth probe with the real payload, on a drained stream —
     # recorded in diag so a congested-tunnel day is visible in the gate
     # artifact (bytes/batch after int16 audio: frames u8 + wavs i16)
-    probe_f = np.zeros((INFER_BATCH, 8, 224, 224, 3), np.uint8)
+    probe_f = np.zeros((INFER_BATCH, 8, 224 * 224 * 3 // 2), np.uint8)
     probe_w = np.zeros((INFER_BATCH, AUDIO_SAMPLES), np.int16)
     jax.device_put(probe_f[:2]).block_until_ready()  # warm the path
     t0 = time.perf_counter()

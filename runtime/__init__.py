@@ -195,6 +195,9 @@ def _load():
     lib.vrt_decode_video_batch.argtypes = [
         c_paths, ctypes.c_int, c_int_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), c_int_p, ctypes.c_int]
+    lib.vrt_decode_video_batch_yuv.restype = ctypes.c_int
+    lib.vrt_decode_video_batch_yuv.argtypes = \
+        lib.vrt_decode_video_batch.argtypes
     c_bytes = ctypes.POINTER(ctypes.c_char_p)  # per-item buffer pointers
     c_int64_p = ctypes.POINTER(ctypes.c_int64)
     lib.vrt_video_info_bytes_batch.restype = ctypes.c_int
@@ -319,6 +322,31 @@ def decode_video_batch(paths: list[str], indices: np.ndarray, target: int,
     out = np.zeros((n, k, target, target, 3), np.uint8)
     ok = np.zeros(n, np.int32)
     lib.vrt_decode_video_batch(
+        _paths_array(paths), n,
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k, target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+    return out, ok.astype(bool)
+
+
+def decode_video_batch_yuv(paths: list[str], indices: np.ndarray,
+                           target: int, n_threads: int = 8):
+    """YUV420 frame fetch: half the bytes of decode_video_batch and no
+    host RGB conversion (the scaler runs on 1.5 samples/px instead of 3).
+
+    Returns ((n, k, target*target*3//2) uint8, ok flags); each frame is
+    packed planes Y[t*t] U[(t/2)^2] V[(t/2)^2]. Expand on device with
+    vast_tpu.ops.image.yuv420_to_rgb. ``target`` must be even.
+    """
+    lib = _require_lib()
+    assert target % 2 == 0, target
+    n = len(paths)
+    indices = np.ascontiguousarray(indices, np.int32)
+    assert indices.shape[0] == n
+    k = indices.shape[1]
+    out = np.zeros((n, k, target * target * 3 // 2), np.uint8)
+    ok = np.zeros(n, np.int32)
+    lib.vrt_decode_video_batch_yuv(
         _paths_array(paths), n,
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k, target,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

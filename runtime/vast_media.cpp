@@ -217,22 +217,28 @@ int64_t count_video_frames_open(Media& m) {
 // (target, target, 3) RGB square. swscale SWS_AREA is the antialiased
 // single-pass path (matches the spirit of the image path's triangle
 // filter; the exact-resolution resize/crop for the model happens on
-// device either way — ops/image.py).
-bool frame_to_square(const AVFrame* frame, int target, uint8_t* out) {
+// device either way — ops/image.py). `sws_cache` (may be null) reuses
+// the scaler across a video's frames: building the AREA filter tables
+// per frame measurably dominates short fetches, and every frame of one
+// stream shares (w, h, format).
+bool frame_to_square(const AVFrame* frame, int target, uint8_t* out,
+                     SwsContext** sws_cache = nullptr) {
   const int h = frame->height, w = frame->width;
   if (h <= 0 || w <= 0) return false;
   const double scale = static_cast<double>(target) / std::min(h, w);
   const int nh = std::max(target, (int)std::lround(h * scale));
   const int nw = std::max(target, (int)std::lround(w * scale));
-  SwsContext* sws = sws_getContext(
-      w, h, static_cast<AVPixelFormat>(frame->format), nw, nh,
+  SwsContext* local = nullptr;
+  SwsContext*& slot = sws_cache ? *sws_cache : local;
+  slot = sws_getCachedContext(
+      slot, w, h, static_cast<AVPixelFormat>(frame->format), nw, nh,
       AV_PIX_FMT_RGB24, SWS_AREA, nullptr, nullptr, nullptr);
-  if (!sws) return false;
+  if (!slot) return false;
   std::vector<uint8_t> rgb(static_cast<size_t>(nw) * nh * 3);
   uint8_t* dst[1] = {rgb.data()};
   int dst_stride[1] = {nw * 3};
-  sws_scale(sws, frame->data, frame->linesize, 0, h, dst, dst_stride);
-  sws_freeContext(sws);
+  sws_scale(slot, frame->data, frame->linesize, 0, h, dst, dst_stride);
+  if (!sws_cache) sws_freeContext(local);
   const int top = (nh - target) / 2, left = (nw - target) / 2;
   for (int y = 0; y < target; ++y)
     std::memcpy(out + static_cast<size_t>(y) * target * 3,
@@ -241,18 +247,73 @@ bool frame_to_square(const AVFrame* frame, int target, uint8_t* out) {
   return true;
 }
 
+// YUV420 variant of frame_to_square: short-side-resize + center-crop in
+// YUV space (1.5 bytes/px vs 3 — the scaler runs on half the samples and
+// the RGB conversion moves to the accelerator, where it fuses into the
+// model's first op). Output layout per frame, packed:
+//   Y[target*target], U[(target/2)^2], V[(target/2)^2]
+// `target` must be even; crop offsets are forced even so the chroma
+// planes crop on exact sample boundaries.
+bool frame_to_square_yuv(const AVFrame* frame, int target, uint8_t* out,
+                         SwsContext** sws_cache = nullptr) {
+  const int h = frame->height, w = frame->width;
+  if (h <= 0 || w <= 0 || (target & 1)) return false;
+  const double scale = static_cast<double>(target) / std::min(h, w);
+  int nh = std::max(target, (int)std::lround(h * scale));
+  int nw = std::max(target, (int)std::lround(w * scale));
+  nh += nh & 1;  // even planes so U/V are exactly (nh/2, nw/2)
+  nw += nw & 1;
+  SwsContext* local = nullptr;
+  SwsContext*& slot = sws_cache ? *sws_cache : local;
+  slot = sws_getCachedContext(
+      slot, w, h, static_cast<AVPixelFormat>(frame->format), nw, nh,
+      AV_PIX_FMT_YUV420P, SWS_AREA, nullptr, nullptr, nullptr);
+  if (!slot) return false;
+  std::vector<uint8_t> ybuf(static_cast<size_t>(nw) * nh);
+  std::vector<uint8_t> ubuf(static_cast<size_t>(nw / 2) * (nh / 2));
+  std::vector<uint8_t> vbuf(ubuf.size());
+  uint8_t* dst[3] = {ybuf.data(), ubuf.data(), vbuf.data()};
+  int dst_stride[3] = {nw, nw / 2, nw / 2};
+  sws_scale(slot, frame->data, frame->linesize, 0, h, dst, dst_stride);
+  if (!sws_cache) sws_freeContext(local);
+  const int top = ((nh - target) / 2) & ~1, left = ((nw - target) / 2) & ~1;
+  uint8_t* oy = out;
+  uint8_t* ou = out + static_cast<size_t>(target) * target;
+  uint8_t* ov = ou + static_cast<size_t>(target / 2) * (target / 2);
+  for (int y = 0; y < target; ++y)
+    std::memcpy(oy + static_cast<size_t>(y) * target,
+                ybuf.data() + static_cast<size_t>(y + top) * nw + left,
+                target);
+  const int t2 = target / 2, top2 = top / 2, left2 = left / 2, nw2 = nw / 2;
+  for (int y = 0; y < t2; ++y) {
+    std::memcpy(ou + static_cast<size_t>(y) * t2,
+                ubuf.data() + static_cast<size_t>(y + top2) * nw2 + left2,
+                t2);
+    std::memcpy(ov + static_cast<size_t>(y) * t2,
+                vbuf.data() + static_cast<size_t>(y + top2) * nw2 + left2,
+                t2);
+  }
+  return true;
+}
+
+inline size_t frame_bytes(int target, bool yuv) {
+  const size_t t = static_cast<size_t>(target) * target;
+  return yuv ? t * 3 / 2 : t * 3;
+}
+
 // Fetch the frames at `idx[0..k)` (any order, duplicates fine) from an
 // already-open video (path or in-memory bytes). Sequential decode with
 // keyframe seeks for large forward gaps.
 bool fetch_video_frames_open(Media& m, const int* idx, int k, int target,
-                             uint8_t* out) {
+                             uint8_t* out, bool yuv = false) {
   const double fps_val = m.fps();
 
   std::vector<std::pair<int, int>> order(k);  // (frame index, out slot)
   for (int i = 0; i < k; ++i) order[i] = {idx[i], i};
   std::sort(order.begin(), order.end());
 
-  const size_t stride = static_cast<size_t>(target) * target * 3;
+  const size_t stride = frame_bytes(target, yuv);
+  SwsContext* sws_cache = nullptr;
   AVFrame* frame = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();
   int64_t cur = -1;      // index of the frame currently in `frame`
@@ -285,7 +346,8 @@ bool fetch_video_frames_open(Media& m, const int* idx, int k, int target,
       if (j > 0 && order[j - 1].first == want)
         std::memcpy(slot, out + stride * order[j - 1].second, stride);
       else
-        ok = frame_to_square(frame, target, slot);
+        ok = yuv ? frame_to_square_yuv(frame, target, slot, &sws_cache)
+                 : frame_to_square(frame, target, slot, &sws_cache);
       continue;
     }
     // forward gap worth a keyframe-seek instead of decoding through it
@@ -328,18 +390,20 @@ bool fetch_video_frames_open(Media& m, const int* idx, int k, int target,
       ok = false;
       break;
     }
-    ok = frame_to_square(frame, target, slot);
+    ok = yuv ? frame_to_square_yuv(frame, target, slot, &sws_cache)
+             : frame_to_square(frame, target, slot, &sws_cache);
   }
+  if (sws_cache) sws_freeContext(sws_cache);
   av_packet_free(&pkt);
   av_frame_free(&frame);
   return ok;
 }
 
 bool fetch_video_frames(const char* path, const int* idx, int k, int target,
-                        uint8_t* out) {
+                        uint8_t* out, bool yuv = false) {
   Media m;
   if (!m.open(path, AVMEDIA_TYPE_VIDEO)) return false;
-  return fetch_video_frames_open(m, idx, k, target, out);
+  return fetch_video_frames_open(m, idx, k, target, out, yuv);
 }
 
 // ---------------------------------------------------------------------
@@ -628,6 +692,28 @@ int vrt_decode_video_batch(const char** paths, int n, const int* indices,
   vrt::parallel_for(n, n_threads, [&](int i) {
     const bool good = fetch_video_frames(paths[i], indices + (size_t)i * k,
                                          k, target, out + stride * i);
+    if (!good) std::memset(out + stride * i, 0, stride);
+    if (ok) ok[i] = good ? 1 : 0;
+    if (good) n_ok.fetch_add(1);
+  });
+  return n_ok.load();
+}
+
+// YUV420 variant: out is (n, k, target*target*3/2) uint8, per-frame
+// packed planes Y[t*t] U[(t/2)^2] V[(t/2)^2] (see frame_to_square_yuv).
+// Ships 50% of the RGB bytes and skips the host RGB conversion — the
+// device expands planes to RGB (ops/image.py yuv420_to_rgb), where the
+// 3x3 color matrix fuses into the model's first op. `target` must be
+// even.
+int vrt_decode_video_batch_yuv(const char** paths, int n, const int* indices,
+                               int k, int target, uint8_t* out, int* ok,
+                               int n_threads) {
+  const size_t stride = static_cast<size_t>(k) * frame_bytes(target, true);
+  std::atomic<int> n_ok(0);
+  vrt::parallel_for(n, n_threads, [&](int i) {
+    const bool good = fetch_video_frames(paths[i], indices + (size_t)i * k,
+                                         k, target, out + stride * i,
+                                         /*yuv=*/true);
     if (!good) std::memset(out + stride * i, 0, stride);
     if (ok) ok[i] = good ? 1 : 0;
     if (good) n_ok.fetch_add(1);

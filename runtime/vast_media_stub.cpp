@@ -25,6 +25,14 @@ int vrt_decode_video_batch(const char**, int n, const int*, int k, int target,
   return 0;
 }
 
+int vrt_decode_video_batch_yuv(const char**, int n, const int*, int k,
+                               int target, uint8_t* out, int* ok, int) {
+  std::memset(out, 0,
+              static_cast<size_t>(n) * k * target * target * 3 / 2);
+  if (ok) std::memset(ok, 0, sizeof(int) * n);
+  return 0;
+}
+
 int vrt_video_info_bytes_batch(const uint8_t**, const int64_t*, int n,
                                int64_t* num_frames, double* fps, int) {
   for (int i = 0; i < n; ++i) {

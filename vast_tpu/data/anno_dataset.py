@@ -74,7 +74,9 @@ class AnnoIndexedDataset:
                 LOGGER.info("%s: corrupt vision for %s, resampling %s",
                             self.dataset_name, id_, resample)
                 return self[resample]
-            sample["vision_frames"] = pixels
+            # key is vision_frames (uint8 RGB) or vision_frames_yuv
+            # (packed planes) depending on the mapper's pixel_format
+            sample[self.vision_mapper.out_key] = pixels
 
         if self.audio_mapper:
             wav, valid = self.audio_mapper.read(id_)
@@ -122,11 +124,11 @@ class AnnoIndexedDataset:
             if "question_id" in samples[0]:
                 batch["question_ids"] = [s["question_id"] for s in samples]
 
-        if "vision_frames" in samples[0]:
-            batch["vision_frames"] = np.stack(
-                [s["vision_frames"] for s in samples])
-            batch["vision_transforms"] = self.d_cfg.get(
-                "vision_transforms", "none")
+        for vk in ("vision_frames", "vision_frames_yuv"):
+            if vk in samples[0]:
+                batch[vk] = np.stack([s[vk] for s in samples])
+                batch["vision_transforms"] = self.d_cfg.get(
+                    "vision_transforms", "none")
 
         if "audio_waveforms" in samples[0]:
             batch["audio_waveforms"] = np.stack(

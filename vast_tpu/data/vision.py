@@ -181,6 +181,22 @@ class VisionMapper:
         self.host_size = (int(self.resolution * 1.15)
                           if d_cfg["training"] else self.resolution)
         self.transforms = d_cfg.get("vision_transforms", "none")
+        # pixel_format "yuv420": ship packed YUV420 planes (half the
+        # host->device bytes; scaler runs on 1.5 samples/px) and expand to
+        # RGB on device (ops/image.py yuv420_to_rgb). Native-runtime
+        # rawvideo only; anything else falls back to RGB.
+        self.pixel_format = d_cfg.get("pixel_format", "rgb")
+        if self.pixel_format == "yuv420":
+            nat = _native_runtime()
+            if (self.vision_format != "video_rawvideo" or nat is None
+                    or not nat.media_available()):
+                LOGGER.warning(
+                    "%s: pixel_format yuv420 needs the native runtime and "
+                    "video_rawvideo (got %s); falling back to rgb",
+                    self.name, self.vision_format)
+                self.pixel_format = "rgb"
+            elif self.host_size % 2:
+                self.host_size += 1  # YUV420 planes need even dims
         # feature-extraction mode (vision_mapper.py:23-26, :141-143)
         self.dense_extraction = d_cfg.get("dense_extraction", False)
         self.extract_fps = d_cfg.get("extract_fps")
@@ -190,6 +206,11 @@ class VisionMapper:
         # out in its constructor — we take it from the dataset cfg, falling
         # back to the sample budget)
         self.num_pre_clips = d_cfg.get("num_pre_clips", self.sample_num)
+
+    @property
+    def out_key(self) -> str:
+        return ("vision_frames_yuv" if self.pixel_format == "yuv420"
+                else "vision_frames")
 
     def read(self, id_) -> np.ndarray | None:
         """Returns uint8 (n, H, W, 3) or None on decode failure."""
@@ -258,7 +279,10 @@ class VisionMapper:
                     int(counts[0]),
                     self._sample_count(int(counts[0]), float(fps[0])),
                     self.training)
-                frames, ok = nat.decode_video_batch(
+                decode = (nat.decode_video_batch_yuv
+                          if self.pixel_format == "yuv420"
+                          else nat.decode_video_batch)
+                frames, ok = decode(
                     [path], np.asarray([idx], np.int32), self.host_size,
                     n_threads=1)
                 if ok[0]:

@@ -57,6 +57,7 @@ from vast_tpu.ops.image import (
     IMAGENET_MEAN,
     IMAGENET_STD,
     preprocess_frames,
+    yuv420_to_rgb,
 )
 from vast_tpu.ops.masking import mask_tokens
 
@@ -367,7 +368,12 @@ class VASTModel(nn.Module):
     # ---------------- on-device preprocessing ----------------
 
     def _preprocess_vision(self, batch, deterministic, rng):
-        frames = batch["vision_frames"]  # uint8 (B, n, H, W, 3)
+        if "vision_frames" in batch:
+            frames = batch["vision_frames"]  # uint8 (B, n, H, W, 3)
+        else:
+            # packed YUV420 wire format (B, n, t*t*3//2): the host ships
+            # half the bytes and the RGB expansion fuses here on device
+            frames = yuv420_to_rgb(batch["vision_frames_yuv"])
         mean, std = ((CLIP_MEAN, CLIP_STD)
                      if (self.cfg.vision_encoder_type.startswith(("clip", "evaclip")))
                      else (IMAGENET_MEAN, IMAGENET_STD))

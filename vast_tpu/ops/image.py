@@ -79,6 +79,37 @@ def random_resized_crop_flip(rng, x, resolution: int,
     return jax.vmap(crop_one)(x, top, left, side, flip)
 
 
+def yuv420_to_rgb(packed):
+    """Packed YUV420 planes -> RGB frames at uint8 scale (float32 0..255).
+
+    packed: (..., t*t*3//2) uint8 — per frame Y[t*t] U[(t/2)^2] V[(t/2)^2],
+    the wire format of the native decoder's YUV path
+    (runtime/vast_media.cpp frame_to_square_yuv). Ships half the bytes of
+    RGB; the BT.601 limited-range expansion here is a handful of
+    elementwise ops XLA fuses into the model's first conv read, and
+    chroma upsamples 2x nearest. Matches libswscale's default
+    (non-JPEG-format) YUV<->RGB coefficients.
+    """
+    t = int(round((packed.shape[-1] * 2 / 3) ** 0.5))
+    assert t * t * 3 // 2 == packed.shape[-1], packed.shape
+    lead = packed.shape[:-1]
+    q = (t // 2) * (t // 2)
+    f32 = jnp.float32
+    y = packed[..., : t * t].reshape(lead + (t, t)).astype(f32)
+    u = packed[..., t * t: t * t + q].reshape(
+        lead + (t // 2, t // 2)).astype(f32)
+    v = packed[..., t * t + q:].reshape(lead + (t // 2, t // 2)).astype(f32)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=-1), 2, axis=-2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=-1), 2, axis=-2)
+    y = (y - 16.0) * (255.0 / 219.0)
+    u = (u - 128.0) * (255.0 / 224.0)
+    v = (v - 128.0) * (255.0 / 224.0)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
 def preprocess_frames(frames_uint8, resolution: int, *, mean=CLIP_MEAN,
                       std=CLIP_STD, train: bool = False, rng=None,
                       transforms: str = "none"):
