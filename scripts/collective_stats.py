@@ -1,0 +1,302 @@
+#!/usr/bin/env python3
+"""Compiled evidence for the multi-chip scaling claims (r4 verdict weak #2).
+
+Lowers the FLAGSHIP train step (EVA01-g + BEATs + BERT-base, the
+bench_train program shapes: per-chip batch 8 x 8 frames x 224, bf16
+params + bf16 Adam moments) over an 8-device virtual mesh on ABSTRACT
+ShapeDtypeStructs — no flagship-sized arrays are ever materialized — and
+compiles it with GSPMD, then reads two things straight out of the
+compiled artifact:
+
+1. Per-step collective traffic (op kind, dtype/shape, bytes) for the
+   dp=8 program — the basis of the "ICI time is small vs step time"
+   claim, re-derived from bytes instead of prose.
+2. Per-device memory (argument/output/temp/peak) for a dp=1 fsdp=8
+   NO-REMAT step — the "drop remat when sharded" reclaim is feasible iff
+   this fits a v5e chip's 16 GB HBM.
+
+Writes COLLECTIVES_r05.json at the repo root and prints a summary.
+
+Run:  python scripts/collective_stats.py            (~minutes: CPU compile
+      of the flagship graph; nothing is executed)
+"""
+import json
+import os
+import re
+import sys
+
+TPU_TOPOLOGY = "--tpu" in sys.argv
+
+if not TPU_TOPOLOGY:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+if not TPU_TOPOLOGY:
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# per-chip shapes identical to bench.py bench_train
+PER_CHIP_BATCH = 8
+FRAMES = 8
+AUDIO_SAMPLES = 1024 * 160 + 400
+
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+                "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+                "f64": 8, "c64": 8, "c128": 16}
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_COLL_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+ = (.*?) "
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(", re.M)
+
+
+def _shape_bytes(shape_text: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_text):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collect_collectives(hlo_text: str) -> dict:
+    """{op_kind: {count, bytes}} from post-SPMD HLO (output shapes =
+    payload living on the wire, per device)."""
+    out = {}
+    for shape_text, kind in _COLL_RE.findall(hlo_text):
+        d = out.setdefault(kind, {"count": 0, "bytes": 0})
+        d["count"] += 1
+        d["bytes"] += _shape_bytes(shape_text)
+    return out
+
+
+def _abstract_state(pshapes, tx, mesh, *, fsdp: bool):
+    """TrainState of sharding-annotated ShapeDtypeStructs (no arrays)."""
+    from vast_tpu.parallel.mesh import combined_param_sharding, replicated
+    from vast_tpu.training.step import TrainState, _opt_state_shardings
+
+    rep = replicated(mesh)
+    if fsdp:
+        param_sh = combined_param_sharding(mesh, pshapes, use_fsdp=True,
+                                           use_tp=False)
+    else:
+        param_sh = jax.tree.map(lambda _: rep, pshapes)
+
+    def sds(shapes, shardings):
+        return jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            shapes, shardings)
+
+    params = sds(pshapes, param_sh)
+    opt_shapes = jax.eval_shape(tx.init, pshapes)
+    opt_sh = _opt_state_shardings(opt_shapes, pshapes, param_sh, rep)
+    opt_state = sds(opt_shapes, opt_sh)
+    step = jax.ShapeDtypeStruct((), jnp.int32, sharding=rep)
+    return TrainState(step=step, params=params, opt_state=opt_state), \
+        _shape_bytes_tree(pshapes)
+
+
+def _shape_bytes_tree(tree) -> int:
+    return sum(int(np.prod(l.shape)) * l.dtype.itemsize
+               for l in jax.tree.leaves(tree))
+
+
+def compile_case(name, *, dp, fsdp_n, checkpointing, per_chip_batch=None):
+    from vast_tpu.config import EasyDict
+    from vast_tpu.models.vast import VASTConfig, VASTModel
+    from vast_tpu.parallel.mesh import batch_sharding, create_mesh
+    from vast_tpu.training.optimizer import build_optimizer
+    from vast_tpu.training.step import make_train_step
+
+    if TPU_TOPOLOGY:
+        # AOT against a REAL v5e-8 topology (no chips needed): the compile
+        # runs the TPU compiler, so memory_analysis reports actual per-chip
+        # HBM (the CPU backend's temp numbers are meaningless for HBM)
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc("v5e:2x4")
+        mesh = create_mesh(dp=dp, fsdp=fsdp_n, tp=1, devices=topo.devices)
+    else:
+        mesh = create_mesh(dp=dp, fsdp=fsdp_n, tp=1)
+    model = VASTModel(VASTConfig(
+        max_vision_sample_num=FRAMES, max_audio_sample_num=1,
+        dtype=jnp.bfloat16, checkpointing=checkpointing,
+        remat_policy="attn"))
+    run_cfg = EasyDict({"learning_rate": 1e-4, "clip_lr": 5e-7,
+                        "adam_mu_dtype": "bfloat16",
+                        "adam_nu_dtype": "bfloat16", "seed": 0})
+    pcb = per_chip_batch or PER_CHIP_BATCH
+    b = pcb * dp * fsdp_n
+    bsh = batch_sharding(mesh)
+    batch = {
+        "vision_frames": jax.ShapeDtypeStruct(
+            (b, FRAMES, 224, 224, 3), jnp.uint8, sharding=bsh),
+        "audio_waveforms": jax.ShapeDtypeStruct(
+            (b, AUDIO_SAMPLES), jnp.float32, sharding=bsh),
+        "caption_tokens": jax.ShapeDtypeStruct((b, 40), jnp.int32,
+                                               sharding=bsh),
+        "caption_attention_mask": jax.ShapeDtypeStruct(
+            (b, 40), jnp.int32, sharding=bsh),
+    }
+    pshapes = jax.eval_shape(
+        lambda bb: model.init(
+            {"params": jax.random.PRNGKey(0)}, bb,
+            "ret%tva", compute_loss=True, deterministic=True,
+            step_rngs={"mask": jax.random.PRNGKey(1),
+                       "negatives": jax.random.PRNGKey(2)})["params"],
+        {k: jax.ShapeDtypeStruct((1,) + v.shape[1:], v.dtype)
+         for k, v in batch.items()})
+    # tx built against abstract shapes: build_optimizer only inspects the
+    # tree structure/paths for LR groups
+    tx, _ = build_optimizer(pshapes, run_cfg,
+                            {"vision_encoder_type": "evaclip01_giant"}, 1000)
+    state, param_bytes = _abstract_state(pshapes, tx, mesh, fsdp=fsdp_n > 1)
+
+    step = make_train_step(model, tx, "ret%tva", mesh=mesh)
+    from vast_tpu.parallel.mesh import replicated
+    rng = jax.ShapeDtypeStruct(
+        jax.eval_shape(jax.random.PRNGKey, 0).shape,
+        jax.eval_shape(jax.random.PRNGKey, 0).dtype,
+        sharding=replicated(mesh))
+    with jax.set_mesh(mesh):
+        lowered = step.jitted.lower(state, batch, rng)
+    import time
+    report = {"case": name, "devices": dp * fsdp_n,
+              "global_batch": b, "per_chip_batch": pcb,
+              "checkpointing": checkpointing,
+              "param_bytes": param_bytes}
+    t0 = time.perf_counter()
+    try:
+        compiled = lowered.compile()
+    except Exception as e:
+        # a TPU-backend RESOURCE_EXHAUSTED here is itself a finding: the
+        # sharding/batch combo does not fit HBM — record the compiler's
+        # used/capacity numbers instead of dying
+        msg = str(e)
+        m = re.search(r"Used ([\d.]+[GMK]?) of ([\d.]+[GMK]?) hbm", msg)
+        report["compile_error"] = msg.splitlines()[0][:300]
+        if m:
+            report["hbm_used"] = m.group(1)
+            report["hbm_capacity"] = m.group(2)
+        report["compile_s"] = round(time.perf_counter() - t0, 1)
+        print(f"== {name}: DOES NOT FIT — {report.get('hbm_used')} of "
+              f"{report.get('hbm_capacity')} hbm")
+        return report
+    compile_s = time.perf_counter() - t0
+
+    colls = collect_collectives(compiled.as_text())
+    report.update({
+        "collectives": colls,
+        "collective_bytes_total": sum(c["bytes"] for c in colls.values()),
+        "compile_s": round(compile_s, 1)})
+    try:
+        m = compiled.memory_analysis()
+        report["memory"] = {
+            "argument_bytes": int(m.argument_size_in_bytes),
+            "output_bytes": int(m.output_size_in_bytes),
+            "temp_bytes": int(m.temp_size_in_bytes),
+            "alias_bytes": int(m.alias_size_in_bytes),
+            # donated state aliases outputs, so live-per-device =
+            # arguments + temps (+ non-aliased outputs)
+            "peak_est_bytes": int(m.argument_size_in_bytes
+                                  + m.temp_size_in_bytes
+                                  + m.output_size_in_bytes
+                                  - m.alias_size_in_bytes),
+        }
+    except Exception as e:  # backend without memory stats
+        report["memory_unavailable"] = f"{type(e).__name__}: {e}"
+    return report
+
+
+def _write(out):
+    path = os.path.join(
+        REPO, "COLLECTIVES_r05_tpu.json" if TPU_TOPOLOGY
+        else "COLLECTIVES_r05.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return path
+
+
+def main():
+    if TPU_TOPOLOGY:
+        specs = [
+            # the scaling claim's config: dp=8 with attn remat — measured
+            # r5: FITS (state 9.96 GB + temps 6.41 GB), collectives
+            # 4.48 GB/step/device
+            ("dp8_remat_attn_b8", dict(dp=8, fsdp_n=1, checkpointing=True)),
+            # the remat reclaim claim: fsdp=8, NO remat — measured r5:
+            # DOES NOT FIT at batch 8 (29.46G of 15.75G; XLA's own
+            # rematerialization pass engaged and still overflowed), an
+            # anti-finding for "drop remat once sharded" at this batch
+            ("fsdp8_no_remat_b8", dict(dp=1, fsdp_n=8,
+                                       checkpointing=False)),
+            # a comfortable multi-chip train point
+            ("fsdp8_remat_attn_b8", dict(dp=1, fsdp_n=8,
+                                         checkpointing=True)),
+            # does the no-remat reclaim exist at a smaller per-chip batch?
+            ("fsdp8_no_remat_b2", dict(dp=1, fsdp_n=8, checkpointing=False,
+                                       per_chip_batch=2)),
+        ]
+    else:
+        specs = [
+            ("dp8_remat_attn", dict(dp=8, fsdp_n=1, checkpointing=True)),
+            ("fsdp8_no_remat", dict(dp=1, fsdp_n=8, checkpointing=False)),
+        ]
+    # --only NAME: run one case and merge it into the existing JSON (TPU
+    # compiles are ~20 min each on this box; don't redo finished ones)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+        specs = [s for s in specs if s[0] == only]
+        assert specs, only
+    cases = []
+    if only:
+        path = os.path.join(
+            REPO, "COLLECTIVES_r05_tpu.json" if TPU_TOPOLOGY
+            else "COLLECTIVES_r05.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                cases = [c for c in json.load(f)["cases"]
+                         if c["case"] != only]
+    for name, kw in specs:
+        cases.append(compile_case(name, **kw))
+        # checkpoint progress after every case: TPU compiles take ~30 min
+        # each on this 1-core box and a late failure must not lose the
+        # earlier evidence
+        _write({"backend": "tpu_v5e_topology" if TPU_TOPOLOGY
+                else "cpu_virtual", "cases": cases})
+    out = {"backend": "tpu_v5e_topology" if TPU_TOPOLOGY else "cpu_virtual",
+           "cases": cases}
+    path = _write(out)
+    for c in cases:
+        if "compile_error" in c:
+            print(f"== {c['case']}: DOES NOT FIT ({c.get('hbm_used')} of "
+                  f"{c.get('hbm_capacity')} hbm)")
+            continue
+        print(f"== {c['case']}: collectives "
+              f"{c['collective_bytes_total']/1e9:.3f} GB/step/device")
+        for k, v in sorted(c["collectives"].items()):
+            print(f"   {k}: n={v['count']} bytes={v['bytes']/1e9:.3f} GB")
+        if "memory" in c:
+            mm = c["memory"]
+            print(f"   memory/device: args {mm['argument_bytes']/1e9:.2f} "
+                  f"temp {mm['temp_bytes']/1e9:.2f} "
+                  f"peak_est {mm['peak_est_bytes']/1e9:.2f} GB")
+        else:
+            print(f"   memory: {c.get('memory_unavailable')}")
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

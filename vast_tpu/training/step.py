@@ -86,6 +86,10 @@ def make_train_step(model, tx, task: str, mesh=None, fsdp: bool = False,
         with jax.set_mesh(mesh):
             return jitted(state, batch, rng)
 
+    # AOT access for tooling (scripts/collective_stats.py lowers the step
+    # on abstract ShapeDtypeStructs to audit GSPMD collectives/memory
+    # without materializing flagship-sized params)
+    run.jitted = jitted
     return run
 
 
