@@ -102,8 +102,12 @@ def _generate_impl(model, params, cond_feats, cfg: GenerationConfig,
         {"params": params}, cond_feats,
         method=lambda m, x: m.multimodal_encoder.precompute_cross_kv(x))
 
-    # prefill: write prompt K/V with the bidirectional prompt mask
-    cache = init_cache(bert_cfg, b, total, dtype=jnp.float32)
+    # prefill: write prompt K/V with the bidirectional prompt mask.
+    # Cache dtype follows the model dtype: on the bf16 flagship this
+    # halves the decode's self-KV read/write AND the beam reorder gather
+    # (the beam loop's dominant HBM traffic); tiny fp32 test models keep
+    # fp32 so decode parity vs HF stays exact.
+    cache = init_cache(bert_cfg, b, total, dtype=model.cfg.dtype)
     m3 = jnp.pad(_prefill_mask(prompt_mask), [(0, 0), (0, 0), (0, total - p)])
     _, cache = bert(prompt_ids, cache=cache, cache_index=0,
                     cross_kv=cross_kv, decode_self_mask=m3)
