@@ -208,6 +208,9 @@ def _load():
     lib.vrt_decode_video_bytes_batch.argtypes = [
         c_bytes, c_int64_p, ctypes.c_int, c_int_p, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), c_int_p, ctypes.c_int]
+    lib.vrt_decode_video_bytes_batch_yuv.restype = ctypes.c_int
+    lib.vrt_decode_video_bytes_batch_yuv.argtypes = \
+        lib.vrt_decode_video_bytes_batch.argtypes
     lib.vrt_load_audio_batch.restype = ctypes.c_int
     lib.vrt_load_audio_batch.argtypes = [
         c_paths, ctypes.c_int, ctypes.c_int,
@@ -398,6 +401,27 @@ def decode_video_bytes_batch(blobs: list[bytes], indices: np.ndarray,
     out = np.zeros((n, k, target, target, 3), np.uint8)
     ok = np.zeros(n, np.int32)
     lib.vrt_decode_video_bytes_batch(
+        arr, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k, target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+    return out, ok.astype(bool)
+
+
+def decode_video_bytes_batch_yuv(blobs: list[bytes], indices: np.ndarray,
+                                 target: int, n_threads: int = 8):
+    """YUV420 variant of decode_video_bytes_batch (see
+    decode_video_batch_yuv for the packed plane layout)."""
+    lib = _require_lib()
+    assert target % 2 == 0, target
+    n = len(blobs)
+    indices = np.ascontiguousarray(indices, np.int32)
+    assert indices.shape[0] == n
+    k = indices.shape[1]
+    arr, sizes = _bytes_arrays(blobs)
+    out = np.zeros((n, k, target * target * 3 // 2), np.uint8)
+    ok = np.zeros(n, np.int32)
+    lib.vrt_decode_video_bytes_batch_yuv(
         arr, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), k, target,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -741,6 +741,27 @@ int vrt_decode_video_bytes_batch(const uint8_t** datas, const int64_t* sizes,
   return n_ok.load();
 }
 
+// YUV420 variant of the in-memory fetch (same plane layout as
+// vrt_decode_video_batch_yuv) for webdataset tar members.
+int vrt_decode_video_bytes_batch_yuv(const uint8_t** datas,
+                                     const int64_t* sizes, int n,
+                                     const int* indices, int k, int target,
+                                     uint8_t* out, int* ok, int n_threads) {
+  const size_t stride = static_cast<size_t>(k) * frame_bytes(target, true);
+  std::atomic<int> n_ok(0);
+  vrt::parallel_for(n, n_threads, [&](int i) {
+    Media m;
+    const bool good =
+        m.open_bytes(datas[i], sizes[i], AVMEDIA_TYPE_VIDEO) &&
+        fetch_video_frames_open(m, indices + (size_t)i * k, k, target,
+                                out + stride * i, /*yuv=*/true);
+    if (!good) std::memset(out + stride * i, 0, stride);
+    if (ok) ok[i] = good ? 1 : 0;
+    if (good) n_ok.fetch_add(1);
+  });
+  return n_ok.load();
+}
+
 // Any audio container/codec -> (n, num_samples) float32 at int16 scale
 // (x * 2^15) @ 16 kHz, truncated/zero-padded. valid[i]=0 on failure.
 int vrt_load_audio_batch(const char** paths, int n, int num_samples,

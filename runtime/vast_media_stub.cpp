@@ -51,6 +51,15 @@ int vrt_decode_video_bytes_batch(const uint8_t**, const int64_t*, int n,
   return 0;
 }
 
+int vrt_decode_video_bytes_batch_yuv(const uint8_t**, const int64_t*, int n,
+                                     const int*, int k, int target,
+                                     uint8_t* out, int* ok, int) {
+  std::memset(out, 0,
+              static_cast<size_t>(n) * k * target * target * 3 / 2);
+  if (ok) std::memset(ok, 0, sizeof(int) * n);
+  return 0;
+}
+
 int vrt_load_audio_batch(const char**, int n, int num_samples, float* out,
                          int* valid, int) {
   std::memset(out, 0, sizeof(float) * static_cast<size_t>(n) * num_samples);

@@ -22,6 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the fast tier is compile-dominated (hundreds
+# of tiny jit programs); keyed by HLO hash so code changes invalidate
+# exactly the programs they touch. Cold tier ~10 min, warm ~x2 faster.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VAST_TEST_JAX_CACHE",
+                                 "/tmp/vast_test_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def pytest_configure(config):

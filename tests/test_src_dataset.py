@@ -310,3 +310,57 @@ def test_shuffle_buffer_reorders_within_shard(tmp_path):
     assert ids_ordered == sorted(ids_ordered)  # tar order, single shard
     assert set(ids_shuffled) <= set(ids_ordered)
     assert ids_shuffled != ids_ordered
+
+
+@pytest.mark.skipif(not _media_available(),
+                    reason="native media runtime unavailable")
+def test_video_tar_yuv420_wire(tmp_path):
+    """pixel_format yuv420 streams packed planes under vision_frames_yuv;
+    the device expansion recovers the same frames as the RGB path."""
+    from vast_tpu.ops.image import yuv420_to_rgb
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    make_video_shard(str(shard_dir / "v0.tar"), 2, 0, n_frames=40)
+    d_cfg = {"type": "srcindexed", "training": False, "name": "webvid",
+             "vision": str(shard_dir), "vision_format": "video_rawvideo",
+             "vision_sample_num": 4, "task": "ret%tv", "batch_size": 2,
+             "pixel_format": "yuv420"}
+    ds = SrcIndexedDataset(d_cfg, make_args(), tiny_tokenizer())
+    assert ds.out_key == "vision_frames_yuv" and ds.host_size % 2 == 0
+    s = next(iter(ds))
+    t = ds.host_size
+    assert s["vision_frames_yuv"].shape == (4, t * t * 3 // 2)
+    rgb = np.asarray(yuv420_to_rgb(s["vision_frames_yuv"]))
+    means = rgb.reshape(4, -1).mean(axis=1)
+    assert (np.diff(means) > 5).all(), means
+
+
+@pytest.mark.skipif(not _media_available(),
+                    reason="native media runtime unavailable")
+def test_image_tar_yuv420_host_pack(tmp_path):
+    """Image members of a yuv420 dataset get host-packed so the stream
+    stays one wire format; the round trip preserves pixels closely."""
+    from vast_tpu.data.vision import rgb_to_yuv420_packed
+    from vast_tpu.ops.image import yuv420_to_rgb
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    make_shard(str(shard_dir / "i0.tar"), 2, 0)
+    d_cfg = {"type": "srcindexed", "training": False, "name": "cc",
+             "vision": str(shard_dir), "vision_format": "image_rawimage",
+             "vision_sample_num": 1, "task": "ret%tv", "batch_size": 2,
+             "pixel_format": "yuv420"}
+    ds = SrcIndexedDataset(d_cfg, make_args(), tiny_tokenizer())
+    s = next(iter(ds))
+    t = ds.host_size
+    assert s["vision_frames_yuv"].shape == (1, t * t * 3 // 2)
+
+    # helper round-trip on a synthetic smooth gradient (chroma-subsample
+    # loss is bounded on smooth content)
+    rs = np.random.RandomState(0)
+    base = rs.rand(8, 8, 3) * 255
+    img = np.asarray(
+        np.kron(base, np.ones((4, 4, 1))), np.float32).astype(np.uint8)
+    rgb = np.asarray(yuv420_to_rgb(rgb_to_yuv420_packed(img)[None]))[0]
+    assert np.abs(rgb - img.astype(np.float32)).mean() < 3.0

@@ -84,6 +84,25 @@ class SrcIndexedDataset:
         from vast_tpu.data.vision import _resize_short_side
         self._resize = _resize_short_side
         self.host_size = int(args.model_cfg.vision_resolution * 1.15)
+        # packed-YUV420 wire format (see data/vision.py VisionMapper):
+        # native-runtime decode only; image members of mixed tars are
+        # host-packed so the stream stays one format
+        self.pixel_format = d_cfg.get("pixel_format", "rgb")
+        if self.pixel_format == "yuv420":
+            from vast_tpu.data.vision import _native_runtime
+            nat = _native_runtime()
+            if nat is None or not nat.media_available():
+                LOGGER.warning("%s: pixel_format yuv420 needs the native "
+                               "runtime; falling back to rgb",
+                               d_cfg.get("name", "src"))
+                self.pixel_format = "rgb"
+            elif self.host_size % 2:
+                self.host_size += 1  # YUV420 planes need even dims
+
+    @property
+    def out_key(self) -> str:
+        return ("vision_frames_yuv" if self.pixel_format == "yuv420"
+                else "vision_frames")
 
     def __iter__(self):
         it = self._iter_ordered()
@@ -176,16 +195,28 @@ class SrcIndexedDataset:
                     self.vision_format.startswith("video")
                     or image_raw is None):
                 from vast_tpu.data.vision import decode_video_bytes
-                sample["vision_frames"] = decode_video_bytes(
+                sample[self.out_key] = decode_video_bytes(
                     video_raw, self.sample_num, self.training,
-                    self.host_size, self._rng)
+                    self.host_size, self._rng,
+                    yuv=self.pixel_format == "yuv420")
             elif image_raw is not None:
                 from PIL import Image
                 img = np.asarray(
                     Image.open(io.BytesIO(image_raw)).convert("RGB"),
                     np.uint8)
-                sample["vision_frames"] = \
-                    self._resize(img, self.host_size)[None]
+                img = self._resize(img, self.host_size)
+                if self.pixel_format == "yuv420":
+                    # packed planes are square (t*t*3//2): center-crop the
+                    # short-side resize to host_size x host_size, like the
+                    # native video path does
+                    from vast_tpu.data.vision import rgb_to_yuv420_packed
+                    h, w = img.shape[:2]
+                    t = self.host_size
+                    top, left = (h - t) // 2, (w - t) // 2
+                    img = img[top: top + t, left: left + t]
+                    sample[self.out_key] = rgb_to_yuv420_packed(img)[None]
+                else:
+                    sample["vision_frames"] = img[None]
             # caption priority mirrors the reference: an explicit
             # txt_format lookup unconditionally overrides any in-tar txt
             # member (IndexSrc.py:119-120); the tar member is only the
@@ -204,7 +235,7 @@ class SrcIndexedDataset:
                 return None
             sample["raw_captions"] = cap
             sample["ids_txt"] = [key]
-            return sample if "vision_frames" in sample else None
+            return sample if self.out_key in sample else None
         except Exception as e:  # warn_and_continue (IndexSrc.py:140)
             LOGGER.warning("bad sample %s: %s", key, e)
             return None

@@ -122,27 +122,56 @@ def _ffmpeg_decode_all(path: str, host_size: int):
     return frames[: n * s * s * 3].reshape(n, s, s, 3), fps
 
 
+def rgb_to_yuv420_packed(img: np.ndarray) -> np.ndarray:
+    """uint8 (H, W, 3) RGB -> packed YUV420 planes (H*W*3//2,) uint8.
+
+    BT.601 limited-range forward transform with 2x2 chroma averaging —
+    the host-side inverse of ops/image.py yuv420_to_rgb, used when a
+    yuv420-format dataset meets an image member (mixed webdataset tars)
+    so every sample in the stream shares one wire format."""
+    h, w = img.shape[:2]
+    assert h % 2 == 0 and w % 2 == 0, img.shape
+    f = img.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 16.0 + (219.0 / 255.0) * (0.299 * r + 0.587 * g + 0.114 * b)
+    u = 128.0 + (224.0 / 255.0) * (-0.168736 * r - 0.331264 * g + 0.5 * b)
+    v = 128.0 + (224.0 / 255.0) * (0.5 * r - 0.418688 * g - 0.081312 * b)
+    u = u.reshape(h // 2, 2, w // 2, 2).mean((1, 3))
+    v = v.reshape(h // 2, 2, w // 2, 2).mean((1, 3))
+    return np.concatenate([
+        np.clip(np.round(y), 0, 255).astype(np.uint8).reshape(-1),
+        np.clip(np.round(u), 0, 255).astype(np.uint8).reshape(-1),
+        np.clip(np.round(v), 0, 255).astype(np.uint8).reshape(-1)])
+
+
 def decode_video_bytes(raw: bytes, sample_num: int, training: bool,
                        host_size: int,
-                       rng: random.Random | None = None) -> np.ndarray:
-    """In-memory video container -> (sample_num, s, s, 3) uint8 frames.
+                       rng: random.Random | None = None,
+                       yuv: bool = False) -> np.ndarray:
+    """In-memory video container -> (sample_num, s, s, 3) uint8 frames
+    (or packed (sample_num, s*s*3//2) YUV420 planes when ``yuv``).
 
     Split-segment frame sampling over the full stream, as the reference
     does for tar-member mp4s (IndexSrc.py:104-110: decord.VideoReader(
     io.BytesIO(src)) + split + random-in-segment). Decode priority:
     native FFmpeg runtime (zero-copy in-memory AVIO) -> decord on a
-    BytesIO -> ffmpeg CLI via a spooled temp file. Raises on failure
-    (callers apply warn-and-continue)."""
+    BytesIO -> ffmpeg CLI via a spooled temp file (RGB only — yuv mode
+    is native-only; callers gate on media availability). Raises on
+    failure (callers apply warn-and-continue)."""
     nat = _native_runtime()
     if nat is not None and nat.media_available():
         counts, _fps = nat.video_info_bytes_batch([raw])
         if counts[0] > 0:
             idx = sample_indices(int(counts[0]), sample_num, training, rng)
-            frames, ok = nat.decode_video_bytes_batch(
+            decode = (nat.decode_video_bytes_batch_yuv if yuv
+                      else nat.decode_video_bytes_batch)
+            frames, ok = decode(
                 [raw], np.asarray([idx], np.int32), host_size, n_threads=1)
             if ok[0]:
                 return frames[0]
         raise RuntimeError("native in-memory video decode failed")
+    if yuv:
+        raise RuntimeError("yuv420 decode needs the native media runtime")
     try:
         import decord  # optional
         import io
