@@ -304,8 +304,12 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads, diag=None):
                                              [auds[s] for s in sel],
                                              n_threads, yuv=True)
                 # int16 quantization on the producer thread: ~10 ms that
-                # overlaps the next decode, halves the audio wire bytes
-                q.put((frames, wavs.astype(np.int16)))
+                # overlaps the next decode, halves the audio wire bytes.
+                # clip first: the decoder emits int16-SCALE floats, and
+                # full-scale samples (|x| >= 32768, e.g. mp3 overshoot)
+                # would wrap sign under a bare astype
+                q.put((frames,
+                       np.clip(wavs, -32768, 32767).astype(np.int16)))
         except BaseException as e:  # noqa: BLE001 — re-raised by consumer
             q.put(e)
 

@@ -115,8 +115,8 @@ def _try_load(lib_path: str):
         _note(f"dlopen({lib_path}) failed: {e}")
         return None
     lib.vrt_version.restype = ctypes.c_int
-    if lib.vrt_version() != 3:
-        _note(f"{lib_path}: ABI version {lib.vrt_version()} != 3")
+    if lib.vrt_version() != 4:
+        _note(f"{lib_path}: ABI version {lib.vrt_version()} != 4")
         return None
     lib.vrt_media_available.restype = ctypes.c_int
     return lib

@@ -38,8 +38,11 @@ namespace {
 using vrt::parallel_for;
 
 // ABI v2 adds the media surface (vast_media.cpp): video info/decode,
-// any-container audio decode, fixture encoders.
-constexpr int kAbiVersion = 3;
+// any-container audio decode, fixture encoders. v4 adds the packed
+// YUV420 decode entry points (vrt_decode_video_batch_yuv and the
+// in-memory bytes variant) — the loader binds them unconditionally, so
+// a pre-v4 .so must be rejected by the version gate, not by dlsym.
+constexpr int kAbiVersion = 4;
 
 // ---------------------------------------------------------------------
 // JPEG decode

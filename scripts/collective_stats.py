@@ -55,12 +55,18 @@ _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 _COLL_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?[\w.\-]+ = (.*?) "
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\(", re.M)
+    r"(-start)?\(", re.M)
 
 
-def _shape_bytes(shape_text: str) -> int:
+def _shape_bytes(shape_text: str, is_start: bool = False) -> int:
+    shapes = _SHAPE_RE.findall(shape_text)
+    if is_start and shape_text.lstrip().startswith("(") and len(shapes) >= 2:
+        # async start ops return a tuple (operand, output[, u32 context
+        # ...]); only the output (element 1) is payload — summing the
+        # whole tuple double-counts the operand (and the u32 scalars)
+        shapes = [shapes[1]]
     total = 0
-    for dt, dims in _SHAPE_RE.findall(shape_text):
+    for dt, dims in shapes:
         if dt not in _DTYPE_BYTES:
             continue
         n = 1
@@ -73,12 +79,13 @@ def _shape_bytes(shape_text: str) -> int:
 
 def collect_collectives(hlo_text: str) -> dict:
     """{op_kind: {count, bytes}} from post-SPMD HLO (output shapes =
-    payload living on the wire, per device)."""
+    payload living on the wire, per device; sync and async -start forms
+    are aggregated under the base op kind)."""
     out = {}
-    for shape_text, kind in _COLL_RE.findall(hlo_text):
+    for shape_text, kind, start in _COLL_RE.findall(hlo_text):
         d = out.setdefault(kind, {"count": 0, "bytes": 0})
         d["count"] += 1
-        d["bytes"] += _shape_bytes(shape_text)
+        d["bytes"] += _shape_bytes(shape_text, is_start=bool(start))
     return out
 
 

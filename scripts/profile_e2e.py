@@ -50,14 +50,19 @@ def main():
     vids, auds = media
     n_cores = os.cpu_count() or 1
 
-    # 1. decode CPU per batch (standalone, like bench_decode_standalone)
-    dt_decode, _ = timed(bench._decode_batch, vids[:bench.INFER_BATCH],
-                         auds[:bench.INFER_BATCH], n_cores, reps=3)
+    # 1. decode CPU per batch (standalone, like bench_decode_standalone).
+    # yuv=True + int16 audio: profile the SAME wire format bench_e2e
+    # runs, or the serial-CPU prediction below is apples-to-oranges
+    # (RGB decodes ~1.2x slower and ships 2x the frame bytes)
+    def decode_wire():
+        f, w = bench._decode_batch(vids[:bench.INFER_BATCH],
+                                   auds[:bench.INFER_BATCH], n_cores,
+                                   yuv=True)
+        return f, np.clip(w, -32768, 32767).astype(np.int16)
+
+    dt_decode, (frames, wavs) = timed(decode_wire, reps=3)
     print(f"decode per batch: {dt_decode*1e3:.0f} ms "
           f"({bench.INFER_BATCH/dt_decode:.1f} clips/s)", flush=True)
-
-    frames, wavs = bench._decode_batch(vids[:bench.INFER_BATCH],
-                                       auds[:bench.INFER_BATCH], n_cores)
     print(f"frames: {frames.shape} {frames.dtype} "
           f"{frames.nbytes/1e6:.1f} MB; wavs: {wavs.shape} {wavs.dtype} "
           f"{wavs.nbytes/1e6:.1f} MB", flush=True)
@@ -86,10 +91,13 @@ def main():
         "caption_attention_mask": jnp.ones((bench.INFER_BATCH, 40), jnp.int32),
     }
 
+    dequant = bench._dequant_jit()
+
     def consumer_step():
-        out = infer(params, dict(caption,
-                                 vision_frames=jnp.asarray(frames),
-                                 audio_waveforms=jnp.asarray(wavs)))
+        out = infer(params, dict(
+            caption,
+            vision_frames_yuv=jnp.asarray(frames),
+            audio_waveforms=dequant(jnp.asarray(wavs))))
         return out
 
     # dispatch-only (async): don't drain

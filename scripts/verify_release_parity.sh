@@ -18,5 +18,7 @@ if [ $# -gt 0 ] && [ -d "$1" ]; then
     data=(--data_root "$1")
     shift
 fi
+# ${data[@]+...}: empty-array expansion trips `set -u` on bash < 4.4
+# (macOS 3.2, older RHEL) — guard so no-DATA_ROOT invocations work there
 exec python "$(dirname "$0")/verify_release_parity.py" \
-    --checkpoint "$ckpt" "${data[@]}" "$@"
+    --checkpoint "$ckpt" ${data[@]+"${data[@]}"} "$@"

@@ -40,6 +40,7 @@ TRICKY = [
     "Kids aged 8-10 line up for the school bus.",
     "She can't believe the magician's trick — neither can I.",
     "The recipe needs 3/4 cup of sugar.",
+    "Add ½ cup of sugar and ¼ teaspoon of salt to ¾ of the mix.",
     "A man in a t-shirt and jeans skateboards downhill.",
     "Don't feed the animals, says the zookeeper.",
     "A close-up of a bee on a sunflower [slow motion].",

@@ -83,7 +83,13 @@ class SrcIndexedDataset:
         self._rng = random.Random(args.run_cfg.get("seed", 50) + host_id)
         from vast_tpu.data.vision import _resize_short_side
         self._resize = _resize_short_side
-        self.host_size = int(args.model_cfg.vision_resolution * 1.15)
+        # same rule as VisionMapper (data/vision.py): training decodes at
+        # ~1.15x the model resolution for device random-crop margin; eval
+        # decodes at exactly the model resolution (canonical
+        # Resize+CenterCrop in one bilinear stage, less wire traffic)
+        self.host_size = (int(args.model_cfg.vision_resolution * 1.15)
+                          if self.training
+                          else int(args.model_cfg.vision_resolution))
         # packed-YUV420 wire format (see data/vision.py VisionMapper):
         # native-runtime decode only; image members of mixed tars are
         # host-packed so the stream stays one format
@@ -204,16 +210,12 @@ class SrcIndexedDataset:
                 img = np.asarray(
                     Image.open(io.BytesIO(image_raw)).convert("RGB"),
                     np.uint8)
+                # _resize_short_side already center-crops to a
+                # host_size x host_size square — exactly the packed-plane
+                # geometry (t*t*3//2) the yuv wire needs
                 img = self._resize(img, self.host_size)
                 if self.pixel_format == "yuv420":
-                    # packed planes are square (t*t*3//2): center-crop the
-                    # short-side resize to host_size x host_size, like the
-                    # native video path does
                     from vast_tpu.data.vision import rgb_to_yuv420_packed
-                    h, w = img.shape[:2]
-                    t = self.host_size
-                    top, left = (h - t) // 2, (w - t) // 2
-                    img = img[top: top + t, left: left + t]
                     sample[self.out_key] = rgb_to_yuv420_packed(img)[None]
                 else:
                     sample["vision_frames"] = img[None]

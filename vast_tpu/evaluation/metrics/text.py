@@ -40,7 +40,11 @@ _UNICODE_MAP = {
     "“": '"', "”": '"', "„": '"', "‟": '"',
     "–": "--", "—": "--", "―": "--",
     "…": "...",
-    "¼": "1\\/4", "½": "1\\/2", "¾": "3\\/4",
+    # plain 1/4 etc.: the token regex keeps slash-compounds as one token
+    # and the downstream escapeForwardSlashAsterisk pass emits the
+    # CoreNLP "1\/4" form (a pre-escaped replacement would be shredded
+    # by the tokenizer, which has no backslash branch)
+    "¼": "1/4", "½": "1/2", "¾": "3/4",
     " ": " ",
 }
 _UNICODE_RE = re.compile("|".join(map(re.escape, _UNICODE_MAP)))
