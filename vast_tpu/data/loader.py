@@ -22,6 +22,8 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+from vast_tpu.logger import LOGGER
+
 
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool,
@@ -84,14 +86,22 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for bi in range(nb):
-                    if stop.is_set():
-                        return
-                    chunk = idxs[bi * self.batch_size:(bi + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, chunk))
-                    out_q.put(self.dataset.collate(samples))
-            out_q.put(None)
+            # exceptions travel through the queue: a dead producer would
+            # otherwise leave the consumer blocked in out_q.get() forever
+            # (a silent pod-wide hang instead of an error)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bi in range(nb):
+                        if stop.is_set():
+                            return
+                        chunk = idxs[bi * self.batch_size:
+                                     (bi + 1) * self.batch_size]
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                chunk))
+                        out_q.put(self.dataset.collate(samples))
+                out_q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                out_q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -100,6 +110,8 @@ class BatchLoader:
                 b = out_q.get()
                 if b is None:
                     return
+                if isinstance(b, BaseException):
+                    raise b
                 yield b
         finally:
             stop.set()
@@ -125,17 +137,22 @@ class StreamBatchLoader:
         stop = threading.Event()
 
         def producer():
-            buf = []
-            for sample in self.dataset:
-                if stop.is_set():
-                    return
-                buf.append(sample)
-                if len(buf) == self.batch_size:
+            # see BatchLoader.producer: exceptions ride the queue so the
+            # consumer errors instead of hanging on a dead producer
+            try:
+                buf = []
+                for sample in self.dataset:
+                    if stop.is_set():
+                        return
+                    buf.append(sample)
+                    if len(buf) == self.batch_size:
+                        out_q.put(self.dataset.collate(buf))
+                        buf = []
+                if buf:
                     out_q.put(self.dataset.collate(buf))
-                    buf = []
-            if buf:
-                out_q.put(self.dataset.collate(buf))
-            out_q.put(None)
+                out_q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                out_q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -144,6 +161,8 @@ class StreamBatchLoader:
                 b = out_q.get()
                 if b is None:
                     return
+                if isinstance(b, BaseException):
+                    raise b
                 yield b
         finally:
             stop.set()
@@ -165,7 +184,14 @@ class MetaLoader:
             self.name2loader[name] = loader
             self.name2iter[name] = iter(loader)
             self.name2epoch[name] = 0
-            self.sampling_pools.extend([name] * int(ratio))
+            # floor at 1 pool slot: a dataset whose derived step count
+            # rounds to 0 (tiny set, large global batch) must still be
+            # sampled, not silently excluded — and an all-zero pool
+            # would crash rng.choice([])
+            if int(ratio) < 1:
+                LOGGER.warning("MetaLoader: dataset %r ratio %s < 1; "
+                               "flooring to 1 sampling slot", name, ratio)
+            self.sampling_pools.extend([name] * max(1, int(ratio)))
         self.accum_steps = accum_steps
         self.step = 0
         self._rng = random.Random(seed)

@@ -226,11 +226,12 @@ class SrcIndexedDataset:
             cap = None
             if self.txt_format in ("json", "dir"):
                 cap = self._lookup_caption(key)
-                if cap is None and "txt" in parts:
-                    cap = parts["txt"].decode("utf-8", "replace").strip()
-            elif "txt" in parts:
+            if cap is None and "txt" in parts:
                 cap = parts["txt"].decode("utf-8", "replace").strip()
-            elif "json" in parts:
+            if cap is None and "json" in parts:
+                # laion-layout per-sample .json metadata; also the
+                # fallback when an external lookup misses a key whose
+                # caption lives in the tar member
                 meta = json.loads(parts["json"])
                 cap = meta.get("caption", "")
             if cap is None:

@@ -84,8 +84,17 @@ def _mesh_ctx(mesh):
 
 
 def _full_batches(loader, mesh=None):
-    """Yield (batch, n_valid) with every batch repeat-padded to a fixed,
-    mesh-divisible size.
+    """Yield (batch, n_valid, n_valid_txt) with every batch repeat-padded
+    to a fixed, mesh-divisible size.
+
+    ``n_valid`` counts SAMPLE rows (vision/audio/ids); ``n_valid_txt``
+    counts TEXT rows. They differ on multi-caption retrieval eval
+    (mscoco/flickr: 5 captions per image — anno_dataset.collate
+    flattens them, so ``caption_tokens``/``ids_txt`` have 5x the rows of
+    ``vision_frames``). Text arrays pad to the next multiple of the
+    sample target (caption counts can be ragged across batches; the
+    bucketing bounds text-shape recompiles to the few distinct
+    multiples).
 
     The target is the loader's batch size rounded up to the data-axis
     product: one static shape serves every batch (no final-batch
@@ -106,22 +115,37 @@ def _full_batches(loader, mesh=None):
         # the global batch (bs x processes) must divide the data axes
         step = n // procs if procs > 1 and n % procs == 0 else n
         bs = -(-bs // step) * step
+    # text rows follow the flattened caption count, not the sample count
+    txt_keys = ("caption_tokens", "caption_attention_mask")
     for batch in loader:
-        n = next((v.shape[0] for v in batch.values()
-                  if isinstance(v, np.ndarray)), None)
-        if n is None or bs is None or n == bs:
-            yield batch, (n if n is not None else bs)
+        n = next((v.shape[0] for k, v in batch.items()
+                  if k not in txt_keys and isinstance(v, np.ndarray)), None)
+        nt = next((v.shape[0] for k in txt_keys
+                   if isinstance(v := batch.get(k), np.ndarray)), None)
+        if n is None and nt is not None:
+            n = len(batch["ids"]) if "ids" in batch else nt  # text-only
+        if n is None or bs is None:
+            yield batch, (n if n is not None else bs), (nt or n or bs)
+            continue
+        bst = None if nt is None else -(-nt // bs) * bs
+
+        def pad_rows(v, target, rows):
+            return v if rows == target else np.concatenate(
+                [v, np.repeat(v[-1:], target - rows, axis=0)], axis=0)
+
+        if n == bs and (nt is None or nt == bst):
+            yield batch, n, (nt if nt is not None else n)
             continue
         padded = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                padded[k] = np.concatenate(
-                    [v, np.repeat(v[-1:], bs - n, axis=0)], axis=0)
+                padded[k] = pad_rows(v, bst if k in txt_keys else bs,
+                                     v.shape[0])
             elif isinstance(v, (list, tuple)) and len(v) == n:
                 padded[k] = list(v) + [v[-1]] * (bs - n)
             else:
                 padded[k] = v
-        yield padded, n
+        yield padded, n, (nt if nt is not None else n)
 
 
 def _prefetched_device_batches(loader, mesh):
@@ -132,8 +156,8 @@ def _prefetched_device_batches(loader, mesh):
     device_batches (training/pipeline.py). Yields (batch, db, n_valid)
     with ``db`` the device-placed arrays of ``batch``."""
     prev = None
-    for batch, nv in _full_batches(loader, mesh):
-        item = (batch, _device_batch(batch, mesh), nv)
+    for batch, nv, nvt in _full_batches(loader, mesh):
+        item = (batch, _device_batch(batch, mesh), nv, nvt)
         if prev is not None:
             yield prev
         prev = item
@@ -157,9 +181,9 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
     cond_feats = {st: [] for st in subtasks}
     cond_seqs = {st: [] for st in subtasks}
 
-    for batch, db, nv in _prefetched_device_batches(loader, mesh):
+    for batch, db, nv, nvt in _prefetched_device_batches(loader, mesh):
         ids += list(batch["ids"])[:nv]
-        ids_txt += list(batch["ids_txt"])[:nv]
+        ids_txt += list(batch["ids_txt"])[:nvt]
         with _mesh_ctx(mesh):
             out = cond_fn(params, db, subtasks=tuple(subtasks),
                           vision_transforms=vt)
@@ -176,9 +200,9 @@ def evaluate_ret(model, params, subtasks, loader, run_cfg, mesh=None):
             cseq = out[f"condition_feats_{st}"]
             cond_seqs[st].append(
                 host_rows(cseq)[:nv] if multiproc else cseq[:nv])
-        feats_t.append(host_rows(ft)[:nv])
-        tok_buf.append(np.asarray(batch["caption_tokens"])[:nv])
-        mask_buf.append(np.asarray(batch["caption_attention_mask"])[:nv])
+        feats_t.append(host_rows(ft)[:nvt])
+        tok_buf.append(np.asarray(batch["caption_tokens"])[:nvt])
+        mask_buf.append(np.asarray(batch["caption_attention_mask"])[:nvt])
 
     # drop this host's cross-host alignment duplicates (the last
     # padded_tail rows of the epoch), then gather (identity on single
@@ -489,7 +513,7 @@ def evaluate_cap(model, params, tokenizer, subtasks, loader, run_cfg,
 
     rng = jax.random.PRNGKey(run_cfg.get("seed", 50))
     multiproc = jax.process_count() > 1
-    for batch, db, nv in _prefetched_device_batches(loader, mesh):
+    for batch, db, nv, _nvt in _prefetched_device_batches(loader, mesh):
         with _mesh_ctx(mesh):
             out = cond_fn(params, db, subtasks=tuple(subtasks),
                           vision_transforms=vt)
@@ -563,7 +587,7 @@ def evaluate_qa(model, params, tokenizer, subtasks, loader, run_cfg,
     gt_rows = []
     preds = {st: [] for st in subtasks}
     multiproc = jax.process_count() > 1
-    for batch, db, nv in _prefetched_device_batches(loader, mesh):
+    for batch, db, nv, _nvt in _prefetched_device_batches(loader, mesh):
         gt_rows += list(batch["raw_answers"])[:nv]
         with _mesh_ctx(mesh):
             out = cond_fn(params, db, subtasks=tuple(subtasks),
