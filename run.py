@@ -74,14 +74,28 @@ def main():
             # finetune-from-pretrain: weights come from the pretrain dir in
             # addition to the inherit_keys config merge (build_model.py:25-27)
             from vast_tpu.convert.vast_ckpt import ingest_torch_checkpoint
+            from vast_tpu.training.saver import latest_model_dir
             try:
                 params = ingest_torch_checkpoint(opts.run_cfg.pretrain_dir,
                                                  model.cfg)
                 LOGGER.info("loaded pretrain weights from %s",
                             opts.run_cfg.pretrain_dir)
             except FileNotFoundError as e:
-                LOGGER.warning("pretrain_dir has no weight files (%s); "
-                               "config inherited only", e)
+                # not a torch-format dir: our OWN pretrain outputs save
+                # orbax ckpt/model_step_N dirs — the finetune-from-own-
+                # pretrain chain must load those too, not just inherit
+                # the config (reference loads its native .pt the same
+                # way, build_model.py:96-103)
+                orbax_dir = latest_model_dir(opts.run_cfg.pretrain_dir)
+                if orbax_dir:
+                    params = restore_params_from(
+                        orbax_dir,
+                        pipeline.init_params(model, opts, tokenizer))
+                    LOGGER.info("loaded pretrain weights (orbax) from %s",
+                                orbax_dir)
+                else:
+                    LOGGER.warning("pretrain_dir has no weight files (%s); "
+                                   "config inherited only", e)
         # --resume is handled INSIDE pipeline.train, after shard_state:
         # restoring first would (a) have the sharding step's optimizer
         # re-init wipe the restored Adam moments on any multi-device run

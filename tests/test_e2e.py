@@ -66,6 +66,44 @@ def test_resume_continues_from_checkpoint(synth):
 
 
 @pytest.mark.slow
+def test_finetune_from_own_pretrain_dir(synth):
+    """The reference's finetune-from-own-pretrain chain
+    (build_model.py:96-103): --pretrain_dir pointing at a PREVIOUS run of
+    THIS framework must load its orbax ckpt/model_step_N weights (not
+    just inherit the config). Proven by equality: finetuning at lr 0
+    for 2 steps must write out exactly the pretrain params."""
+    import orbax.checkpoint as ocp
+
+    import jax
+
+    root, anno, annfile = synth
+    pre_out = os.path.join(root, "output")
+    pre_ckpts = [c for c in os.listdir(os.path.join(pre_out, "ckpt"))
+                 if c.startswith("model_step_")]
+    assert pre_ckpts, "needs the checkpoint from the training test above"
+    cfg_path = make_task_config(root, anno, annfile, task="ret%tva", steps=2)
+    cfg = json.load(open(cfg_path))
+    ft_out = os.path.join(root, "output_ft")
+    cfg["run_cfg"]["output_dir"] = ft_out
+    p = os.path.join(root, "task_ft.json")
+    json.dump(cfg, open(p, "w"))
+    run_main(["--config", p, "--pretrain_dir", pre_out,
+              "--learning_rate", "0", "--clip_lr", "0", "--new_lr", "0"])
+    ft_ckpt = os.path.join(ft_out, "ckpt", "model_step_2")
+    assert os.path.isdir(ft_ckpt), os.listdir(os.path.join(ft_out, "ckpt"))
+    ckptr = ocp.StandardCheckpointer()
+    pre = ckptr.restore(os.path.join(pre_out, "ckpt", sorted(pre_ckpts)[-1]))
+    ft = ckptr.restore(ft_ckpt)
+    flat_pre = jax.tree_util.tree_leaves_with_path(pre)
+    flat_ft = dict(jax.tree_util.tree_leaves_with_path(ft))
+    assert len(flat_pre) == len(flat_ft)
+    for path_, leaf in flat_pre:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_ft[path_]),
+            err_msg=jax.tree_util.keystr(path_))
+
+
+@pytest.mark.slow
 def test_testing_mode_full_eval(synth, capsys):
     root, anno, annfile = synth
     out2 = os.path.join(root, "output_test")

@@ -87,7 +87,7 @@ ld2 = BatchLoader(DS2(), 4, shuffle=False, drop_last=False, num_workers=1,
                   host_id=pid, num_hosts=2)
 f = jax.jit(lambda x: x * 2.0)
 feats = []
-for batch, nv in _full_batches(ld2):
+for batch, nv, _nvt in _full_batches(ld2):
     db = _device_batch(batch, mesh)
     assert db["x"].shape[0] == 8  # global batch assembled across hosts
     feats.append(host_rows(f(db["x"]))[:nv])

@@ -95,3 +95,20 @@ def restore_params_from(path: str, like):
     """Explicit --checkpoint load (orbax dir or model_step_N dir)."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), like)
+
+
+def latest_model_dir(output_dir: str) -> str | None:
+    """Newest ``<output_dir>/ckpt/model_step_N`` orbax dir, if any — the
+    layout ModelSaver writes. Lets ``--pretrain_dir`` pick up weights
+    from THIS framework's own pretrain output (the reference's
+    finetune-from-own-pretrain chain, build_model.py:96-103, whose
+    native format there is ``ckpt/model_step_N.pt``)."""
+    ckpt_dir = os.path.join(output_dir, "ckpt")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(m.group(1)) for name in os.listdir(ckpt_dir)
+             if (m := re.fullmatch(r"model_step_(\d+)", name))
+             and os.path.isdir(os.path.join(ckpt_dir, name))]
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"model_step_{max(steps)}")
