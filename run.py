@@ -48,6 +48,10 @@ def main():
         if is_pretrain_dir:
             LOGGER.info("ingesting pretrain dir %s", path)
             return ingest_torch_checkpoint(path, model.cfg)
+        from vast_tpu.training.saver import latest_model_dir
+        # a training-output ROOT (not the model_step_N dir itself)
+        # resolves to its newest saved step, like --pretrain_dir
+        path = latest_model_dir(path) or path
         return restore_params_from(
             path, pipeline.init_params(model, opts, tokenizer))
 

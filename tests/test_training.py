@@ -249,6 +249,26 @@ def test_saver_removes_previous(tmp_path):
     assert "model_step_2" in names and "model_step_1" not in names
 
 
+def test_latest_model_dir(tmp_path):
+    """--pretrain_dir / --checkpoint output-root resolution: newest
+    model_step_N dir wins; non-matching names and files are ignored."""
+    import os
+
+    from vast_tpu.training.saver import latest_model_dir
+
+    assert latest_model_dir(str(tmp_path)) is None  # no ckpt/ at all
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    assert latest_model_dir(str(tmp_path)) is None  # empty ckpt/
+    for name in ("model_step_2", "model_step_10", "optimizer_step_10",
+                 "best_video_r1"):
+        (ck / name).mkdir()
+    (ck / "model_step_99.pt").write_bytes(b"")  # a FILE must not match
+    got = latest_model_dir(str(tmp_path))
+    assert got == str(ck / "model_step_10"), got
+    assert os.path.isdir(got)
+
+
 @pytest.mark.slow
 def test_tp_sharding_matches_replicated():
     """Megatron-style tensor parallelism over 'tp': loss must match the
