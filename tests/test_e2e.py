@@ -192,6 +192,10 @@ def test_pretrain_step_from_video_tar(tmp_path):
     cfg["data_cfg"]["train"] = [{
         "type": "srcindexed", "training": True, "name": "webvid_tar",
         "vision": shard_dir, "vision_format": "video_rawvideo",
+        # the generated catalog's default wire for rawvideo: packed
+        # YUV420 planes, expanded to RGB inside the jitted step — this
+        # e2e covers host tar decode -> yuv wire -> device expand -> train
+        "pixel_format": "yuv420",
         "vision_sample_num": 2, "task": "ret%tv", "batch_size": 4,
         "steps": 2, "shuffle_buffer": 4,
     }]
