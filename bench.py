@@ -353,6 +353,11 @@ def bench_e2e(infer, params, rs, vids, auds, n_threads, diag=None):
     t.join()
     rate = (n_batches - 1) * INFER_BATCH / dt
     if diag is not None:
+        # per-attempt probe history: the tunnel swings between attempts,
+        # so the scalar (last attempt's probe) alone can mismatch the
+        # best-of-3 attempt the gate reports
+        diag.setdefault("h2d_MBps_attempts", []).append(
+            round(wire_mb / xfer_s))
         diag["h2d_MBps"] = round(wire_mb / xfer_s)
         diag["wire_MB_per_batch"] = round(wire_mb, 1)
         diag["xfer_s_per_batch"] = round(xfer_s, 3)
@@ -444,11 +449,16 @@ def main():
             # bound: what the slowest stage alone would sustain.  If
             # e2e ~= bound the pipeline overlap is clean and the gap to
             # device-only is an input-stage (host/tunnel) limit, not a
-            # pipeline defect (BENCH_NOTES.md round 5).
+            # pipeline defect (BENCH_NOTES.md round 5).  The transfer
+            # term uses the BEST attempt's probe, matching the best-of-3
+            # rate the gate reports (the tunnel swings between attempts).
+            e2e_diag.pop("xfer_s_per_batch")
+            wire_mb = e2e_diag["wire_MB_per_batch"]
+            best_h2d = max(e2e_diag["h2d_MBps_attempts"])
             e2e_diag["stage_bound_clips_s"] = round(min(
                 decode_clips,
                 infer_clips,
-                INFER_BATCH / max(e2e_diag.pop("xfer_s_per_batch"), 1e-9)),
+                INFER_BATCH / max(wire_mb / max(best_h2d, 1e-9), 1e-9)),
                 2)
     except Exception as e:  # media bench must not sink the primary metric
         e2e_reason = f"failed: {type(e).__name__}: {e}"
